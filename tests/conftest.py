@@ -1,16 +1,39 @@
 """Test configuration: force an 8-device virtual CPU mesh for sharding tests.
 
 This is the standard JAX multi-chip-without-a-cluster trick (SURVEY.md §4.4):
-XLA_FLAGS=--xla_force_host_platform_device_count=8 with JAX_PLATFORMS=cpu.
-Must run before jax is imported anywhere in the test process.
+xla_force_host_platform_device_count=8 on the CPU backend. The environment
+pins JAX_PLATFORMS=axon (the real TPU tunnel), which is high-latency for the
+many tiny ops in unit tests — override it BEFORE any jax backend
+initialization. Real-chip tests opt in via the 'tpu' marker and the
+BISCUIT_TEST_TPU=1 environment variable.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: tests requiring the real TPU chip (BISCUIT_TEST_TPU=1)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if os.environ.get("BISCUIT_TEST_TPU") == "1":
+        return
+    skip = pytest.mark.skip(reason="real-TPU test (set BISCUIT_TEST_TPU=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
