@@ -1,0 +1,149 @@
+"""Host-side tile input pipeline: tfrecords -> device-ready uint8 batches.
+
+Replaces the slideflow/tf.data pipeline of the reference stack (SURVEY.md
+§2.3 E4). Reads per-slide tfrecords through the index sidecars, decodes
+PNG/JPEG tiles (native C++ decoder when built, PIL otherwise), applies
+host-side JPEG augmentation ('j' of 'xyrjb'), and yields fixed-shape numpy
+batches. Everything downstream (stain norm, flips, standardization, model)
+runs on-chip in one XLA program.
+
+For multi-host DCN setups each process constructs the pipeline over its own
+shard of slides (``shard``/``num_shards``), the standard
+per-process-data + jax.make_array_from_process_local_data recipe.
+"""
+
+from __future__ import annotations
+
+import io
+from os.path import basename, splitext
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .tfrecord import load_index, read_example_at
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """Decode a PNG/JPEG tile to HWC uint8 RGB."""
+    try:
+        from .native_loader import native_decode
+
+        out = native_decode(raw)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+
+
+class TileBatcher:
+    """Batched iterator over tile tfrecords with slide-level labels.
+
+    Args:
+        tfrecords: per-slide tfrecord paths ({slide}.tfrecords).
+        labels: slide -> int label (tiles inherit their slide's label).
+        batch_size: fixed batch size; final partial batch is padded and a
+            mask marks valid rows (static shapes for XLA).
+        shuffle: shuffle the global tile index each epoch.
+        infinite: loop forever (training); otherwise one epoch.
+        jpeg_aug: host-side random JPEG re-compression probability gate.
+    """
+
+    def __init__(
+        self,
+        tfrecords: List[str],
+        labels: Optional[Dict[str, int]] = None,
+        batch_size: int = 128,
+        shuffle: bool = True,
+        infinite: bool = False,
+        seed: int = 0,
+        jpeg_aug: bool = False,
+        shard: int = 0,
+        num_shards: int = 1,
+        max_tiles: Optional[int] = None,
+    ):
+        self.paths = list(tfrecords)
+        self.labels = labels or {}
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.infinite = infinite
+        self.jpeg_aug = jpeg_aug
+        self.rng = np.random.default_rng(seed)
+
+        entries: List[Tuple[int, int]] = []
+        for pi, path in enumerate(self.paths):
+            offsets = load_index(path)
+            if max_tiles is not None:
+                offsets = offsets[:max_tiles]
+            entries.extend((pi, int(off)) for off in offsets)
+        entries = entries[shard::num_shards]
+        self.entries = np.asarray(entries, dtype=np.int64).reshape(-1, 2)
+        self._slide_names = [splitext(basename(p))[0] for p in self.paths]
+        self._files = {}
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    @property
+    def num_batches(self) -> int:
+        return -(-len(self.entries) // self.batch_size)
+
+    def _file(self, pi: int):
+        if pi not in self._files:
+            self._files[pi] = open(self.paths[pi], "rb")
+        return self._files[pi]
+
+    def _read_tile(self, pi: int, offset: int):
+        ex = read_example_at(self._file(pi), offset)
+        img = decode_image(ex["image_raw"])
+        if self.jpeg_aug:
+            from .augment import jpeg_augment_host
+
+            img = jpeg_augment_host(img, self.rng)
+        slide = (
+            ex["slide"].decode()
+            if isinstance(ex.get("slide"), bytes)
+            else self._slide_names[pi]
+        )
+        loc_x = ex.get("loc_x", [0])
+        loc_y = ex.get("loc_y", [0])
+        return img, slide, int(loc_x[0]), int(loc_y[0])
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            order = np.arange(len(self.entries))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            for start in range(0, len(order), self.batch_size):
+                idx = order[start:start + self.batch_size]
+                imgs, slides, labels, locs = [], [], [], []
+                for i in idx:
+                    pi, off = self.entries[i]
+                    img, slide, lx, ly = self._read_tile(pi, off)
+                    imgs.append(img)
+                    slides.append(slide)
+                    labels.append(self.labels.get(slide, -1))
+                    locs.append((lx, ly))
+                n_valid = len(imgs)
+                # Pad to a static batch size (mask marks real rows).
+                while len(imgs) < self.batch_size:
+                    imgs.append(np.zeros_like(imgs[0]))
+                    slides.append("")
+                    labels.append(-1)
+                    locs.append((0, 0))
+                yield {
+                    "image": np.stack(imgs),
+                    "label": np.asarray(labels, np.int32),
+                    "slide": slides,
+                    "loc": np.asarray(locs, np.int32),
+                    "mask": np.arange(self.batch_size) < n_valid,
+                }
+            if not self.infinite:
+                return
+
+    def close(self):
+        for f in self._files.values():
+            f.close()
+        self._files.clear()

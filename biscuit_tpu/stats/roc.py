@@ -143,6 +143,27 @@ def auc_score(y_true, y_score) -> float:
         return float("nan")
 
 
+def average_precision(y_true, y_score) -> float:
+    """Average precision (sklearn.metrics.average_precision_score semantics:
+    step-wise integral of the precision-recall curve, AP = sum (R_i - R_{i-1})
+    * P_i over descending-score thresholds)."""
+    y_true = np.asarray(y_true).ravel()
+    y_score = np.asarray(y_score, dtype=np.float64).ravel()
+    pos = _validate_binary(y_true)
+    order = np.argsort(y_score, kind="mergesort")[::-1]
+    pos = pos[order]
+    y_sorted = y_score[order]
+    distinct = np.where(np.diff(y_sorted))[0]
+    threshold_idxs = np.r_[distinct, y_sorted.size - 1]
+    tps = np.cumsum(pos, dtype=np.float64)[threshold_idxs]
+    fps = 1.0 + threshold_idxs - tps
+    if tps[-1] == 0:
+        return float("nan")
+    precision = tps / (tps + fps)
+    recall = tps / tps[-1]
+    return float(np.sum(np.diff(np.r_[0.0, recall]) * precision))
+
+
 def youden_threshold(fpr, tpr, thresholds) -> float:
     """Optimal threshold via Youden's J = tpr - fpr.
 

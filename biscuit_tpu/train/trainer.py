@@ -1,0 +1,557 @@
+"""TPU-native training engine: pjit data-parallel Xception training with the
+reference stack's on-disk contract.
+
+Replaces slideflow's ``Project.train`` (SURVEY.md §2.3 E4; reference call
+contract at experiment.py:1028-1051 with kwargs from run():795-905):
+k-fold site-preserved validation plans, 'xyrjb' augmentation + reinhard_fast
+normalization on-chip, Adam with exponential LR decay (0.98/512,
+hp.py:15-17), sparse categorical cross-entropy, early stopping on accuracy
+with ``early_stop_batch`` recording (utils.py:164-187 reads it back),
+``steps_per_epoch_override``, CSV prediction saving, and the model-directory
+naming contract of SURVEY.md §2.4.
+
+TPU-first design choices:
+* one jitted train step: uint8 batch -> stain-norm -> augment ->
+  per-image-standardize -> bf16 Xception fwd/bwd -> f32 Adam update; donated
+  state, batch sharded over the 'data' mesh axis, params replicated (XLA
+  inserts the gradient all-reduce over ICI);
+* static shapes everywhere (padded final batches with masks);
+* validation/UQ inference reuses the deterministic trunk and vmaps K
+  dropout-sampled head passes (see uq.py) — backbone runs once per tile.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from os.path import join
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+from flax import serialization
+from flax.core import freeze, unfreeze
+
+from ..data.normalize import make_normalizer, per_image_standardization
+from ..data.pipeline import TileBatcher
+from ..hp import ModelParams
+from ..models.xception import build_model
+from ..parallel.mesh import batch_sharding, data_parallel_mesh, replicated
+from ..stats.roc import auc_score, average_precision
+from ..utils_log import log
+from .splits import kfold_split, train_val_slides
+
+# -----------------------------------------------------------------------------
+# Model state & steps
+# -----------------------------------------------------------------------------
+
+
+def lr_schedule(hp: ModelParams):
+    """Keras ExponentialDecay semantics (continuous): lr * rate^(step/steps)."""
+    return lambda step: hp.learning_rate * (
+        hp.learning_rate_decay ** (step / hp.learning_rate_decay_steps)
+    )
+
+
+def make_optimizer(hp: ModelParams):
+    if hp.optimizer.lower() == "adam":
+        return optax.adam(lr_schedule(hp))
+    if hp.optimizer.lower() == "sgd":
+        return optax.sgd(lr_schedule(hp), momentum=0.9)
+    raise ValueError(f"Unsupported optimizer {hp.optimizer}")
+
+
+def init_model(model, hp: ModelParams, rng):
+    dummy = jnp.zeros((2, hp.tile_px, hp.tile_px, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
+    return variables["params"], variables.get("batch_stats", freeze({}))
+
+
+def preprocess(images_u8, normalizer):
+    """uint8 HWC batch -> standardized f32 (fused into the step program)."""
+    x = images_u8.astype(jnp.float32)
+    if normalizer is not None:
+        x = normalizer(x)
+    return per_image_standardization(x)
+
+
+def make_train_step(model, tx, hp: ModelParams, normalizer):
+    from ..data.augment import augment_batch
+
+    def train_step(params, batch_stats, opt_state, images, labels, mask, key):
+        aug_key, drop_key = jax.random.split(key)
+
+        def loss_fn(p):
+            x = preprocess(images, normalizer)
+            if hp.augment:
+                x = augment_batch(x, aug_key, augment=hp.augment)
+            (logits, updates) = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                train=True,
+                rngs={"dropout": drop_key},
+                mutable=["batch_stats"],
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.maximum(labels, 0)
+            )
+            denom = jnp.maximum(mask.sum(), 1)
+            loss = (ce * mask).sum() / denom
+            acc = ((jnp.argmax(logits, -1) == labels) * mask).sum() / denom
+            return loss, (updates["batch_stats"], acc)
+
+        (loss, (new_bs, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, {"loss": loss, "acc": acc}
+
+    return train_step
+
+
+def make_eval_step(model, normalizer):
+    def eval_step(params, batch_stats, images):
+        x = preprocess(images, normalizer)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    return eval_step
+
+
+# -----------------------------------------------------------------------------
+# Prediction writers (on-disk contract, SURVEY.md §2.4)
+# -----------------------------------------------------------------------------
+
+
+def predict_tiles(
+    params,
+    batch_stats,
+    model,
+    hp: ModelParams,
+    tfrecords: List[str],
+    labels: Dict[str, int],
+    mesh=None,
+    batch_size: Optional[int] = None,
+    max_tiles: Optional[int] = None,
+) -> pd.DataFrame:
+    """Run (UQ) inference over tfrecords -> tile predictions DataFrame with
+    the reference column contract: slide, loc_x, loc_y, {K columns}."""
+    from .uq import mc_dropout_predict
+
+    normalizer = make_normalizer(hp.normalizer)
+    batch_size = batch_size or hp.batch_size
+    if mesh is None:
+        mesh = data_parallel_mesh()
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+
+    if hp.uq:
+        infer = jax.jit(
+            lambda p, bs, imgs, key: mc_dropout_predict(
+                model, p, bs, preprocess(imgs, normalizer), key,
+                k=hp.uq_samples,
+            ),
+            in_shardings=(r_shard, r_shard, b_shard, r_shard),
+        )
+    else:
+        eval_step = make_eval_step(model, normalizer)
+        infer = jax.jit(
+            lambda p, bs, imgs, key: (eval_step(p, bs, imgs), None),
+            in_shardings=(r_shard, r_shard, b_shard, r_shard),
+        )
+
+    batcher = TileBatcher(
+        tfrecords, labels, batch_size=batch_size, shuffle=False,
+        infinite=False, max_tiles=max_tiles,
+    )
+    key = jax.random.PRNGKey(42)
+    rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
+    probs_all, unc_all = [], []
+    for batch in batcher:
+        key, sub = jax.random.split(key)
+        probs, unc = infer(params, batch_stats, batch["image"], sub)
+        probs = np.asarray(probs)
+        unc = np.asarray(unc) if unc is not None else None
+        m = np.asarray(batch["mask"])
+        probs_all.append(probs[m])
+        if unc is not None:
+            unc_all.append(unc[m])
+        for i in np.where(m)[0]:
+            rows["slide"].append(batch["slide"][i])
+            rows["loc_x"].append(int(batch["loc"][i, 0]))
+            rows["loc_y"].append(int(batch["loc"][i, 1]))
+            rows["y_true"].append(int(batch["label"][i]))
+    batcher.close()
+
+    probs = (
+        np.concatenate(probs_all)
+        if probs_all
+        else np.zeros((0, 2), np.float32)
+    )
+    df = pd.DataFrame(rows)
+    return df, probs, (np.concatenate(unc_all) if unc_all else None)
+
+
+def tile_predictions_frame(outcome, df, probs, unc) -> pd.DataFrame:
+    """Assemble the tile_predictions CSV columns
+    ({outcome}_y_true0, {outcome}_y_pred{i}, {outcome}_uncertainty{i} —
+    experiment.py:694-698, utils.py:19-28)."""
+    out = pd.DataFrame({"slide": df["slide"],
+                        "loc_x": df["loc_x"], "loc_y": df["loc_y"]})
+    out[f"{outcome}_y_true0"] = df["y_true"]
+    for c in range(probs.shape[1]):
+        out[f"{outcome}_y_pred{c}"] = probs[:, c]
+    if unc is not None:
+        for c in range(unc.shape[1]):
+            out[f"{outcome}_uncertainty{c}"] = unc[:, c]
+    return out
+
+
+def group_predictions_frame(tile_df, probs, patients: Dict[str, str],
+                            level_name: str) -> pd.DataFrame:
+    """Patient/slide-level predictions: y_true1 + percent_tiles_positive1
+    (column contract of utils.read_group_predictions, utils.py:380-397)."""
+    df = pd.DataFrame(
+        {
+            "slide": tile_df["slide"],
+            "y_true": tile_df["y_true"],
+            "pos": (probs[:, 1] >= 0.5).astype(np.float64),
+            "y_pred1": probs[:, 1],
+        }
+    )
+    if level_name == "patient":
+        df["group"] = df["slide"].map(patients)
+    else:
+        df["group"] = df["slide"]
+    g = df.groupby("group", sort=False).agg(
+        y_true1=("y_true", "max"),
+        percent_tiles_positive1=("pos", "mean"),
+        n_tiles=("pos", "size"),
+    ).reset_index().rename(columns={"group": level_name})
+    return g
+
+
+def _level_metrics(y_true, y_score):
+    return (
+        auc_score(np.asarray(y_true), np.asarray(y_score)),
+        average_precision(np.asarray(y_true), np.asarray(y_score)),
+    )
+
+
+# -----------------------------------------------------------------------------
+# Model directory management
+# -----------------------------------------------------------------------------
+
+
+def _next_run_number(models_dir: str) -> int:
+    existing = []
+    for d in os.listdir(models_dir):
+        head = d.split("-", 1)[0]
+        if head.isdigit():
+            existing.append(int(head))
+    return max(existing) + 1 if existing else 0
+
+
+def _model_dir_name(n: int, outcome: str, label: str,
+                    kfold: Optional[int]) -> str:
+    tail = "" if kfold is None else f"-kfold{kfold}"
+    return f"{n:05d}-{outcome}-{label}-HP0{tail}"
+
+
+def save_checkpoint(model_dir: str, params, batch_stats, hp: ModelParams,
+                    epoch: int, outcome: str, label: str,
+                    kfold: Optional[int]) -> str:
+    """Save weights into the `{name}_epoch{E}` subdir (utils.py:266-271)."""
+    tail = "" if kfold is None else f"-kfold{kfold}"
+    sub = join(model_dir, f"{outcome}-{label}-HP0{tail}_epoch{epoch}")
+    os.makedirs(sub, exist_ok=True)
+    blob = serialization.to_bytes(
+        {"params": unfreeze(params), "batch_stats": unfreeze(batch_stats)}
+    )
+    with open(join(sub, "model.msgpack"), "wb") as f:
+        f.write(blob)
+    with open(join(sub, "params.json"), "w") as f:
+        json.dump({"hp": hp.to_dict(), "outcome": outcome, "label": label},
+                  f, indent=2)
+    return sub
+
+
+def load_checkpoint(model_path: str):
+    """Load (model, params, batch_stats, hp, outcome) from a saved model dir."""
+    with open(join(model_path, "params.json")) as f:
+        meta = json.load(f)
+    hp = ModelParams.from_dict(meta["hp"])
+    model = build_model(hp)
+    rng = jax.random.PRNGKey(0)
+    params, batch_stats = init_model(model, hp, rng)
+    with open(join(model_path, "model.msgpack"), "rb") as f:
+        state = serialization.from_bytes(
+            {"params": unfreeze(params), "batch_stats": unfreeze(batch_stats)},
+            f.read(),
+        )
+    return model, freeze(state["params"]), freeze(state["batch_stats"]), hp, meta
+
+
+# -----------------------------------------------------------------------------
+# The training driver
+# -----------------------------------------------------------------------------
+
+
+def train_project(
+    project,
+    outcome: str,
+    exp_label: str,
+    filters: Optional[Dict] = None,
+    params: Optional[ModelParams] = None,
+    splits: Optional[str] = None,
+    val_k: Optional[List[int]] = None,
+    val_k_fold: int = 3,
+    val_strategy: str = "k-fold",
+    save_predictions="csv",
+    validate_on_batch: int = 32,
+    validation_steps: int = 32,
+    save_model: bool = False,
+    steps_per_epoch_override: Optional[int] = None,
+    seed: int = 0,
+    max_tiles: Optional[int] = None,
+    mesh=None,
+):
+    """Train model(s) for an experiment label; sf.Project.train equivalent.
+
+    Returns list of created model directories.
+    """
+    hp = params if params is not None else ModelParams()
+    dataset = project.dataset(hp.tile_px, hp.tile_um, filters=filters)
+    labels, unique = dataset.labels(outcome)
+    patients = dataset.patients()
+    all_tfrecords = dataset.tfrecords()
+    by_slide = {
+        os.path.splitext(os.path.basename(p))[0]: p for p in all_tfrecords
+    }
+    log.info(
+        f"Training {exp_label}: {len(by_slide)} slides, classes {unique}"
+    )
+
+    created = []
+    if val_strategy == "k-fold":
+        splits_path = join(project.root, splits) if splits else join(
+            project.root, f"splits_{exp_label}.json"
+        )
+        folds = kfold_split(
+            slides=[s for s in dataset.slides() if s in by_slide],
+            labels=labels,
+            sites=dataset.sites(),
+            k=val_k_fold,
+            seed=seed,
+            splits_path=splits_path,
+        )
+        for k in (val_k if val_k else range(1, val_k_fold + 1)):
+            train_slides, val_slides = train_val_slides(folds, k)
+            created.append(
+                _train_single(
+                    project, outcome, exp_label, hp, labels, patients,
+                    by_slide, train_slides, val_slides, kfold=k,
+                    validate_on_batch=validate_on_batch,
+                    validation_steps=validation_steps,
+                    save_model=save_model,
+                    steps_per_epoch_override=steps_per_epoch_override,
+                    seed=seed + k, max_tiles=max_tiles, mesh=mesh,
+                )
+            )
+    elif val_strategy == "none":
+        train_slides = [s for s in dataset.slides() if s in by_slide]
+        created.append(
+            _train_single(
+                project, outcome, exp_label, hp, labels, patients, by_slide,
+                train_slides, [], kfold=None,
+                validate_on_batch=validate_on_batch,
+                validation_steps=validation_steps,
+                save_model=save_model,
+                steps_per_epoch_override=steps_per_epoch_override,
+                seed=seed, max_tiles=max_tiles, mesh=mesh,
+            )
+        )
+    else:
+        raise ValueError(f"Unknown val_strategy {val_strategy}")
+    return created
+
+
+def _train_single(
+    project, outcome, exp_label, hp, labels, patients, by_slide,
+    train_slides, val_slides, kfold, validate_on_batch, validation_steps,
+    save_model, steps_per_epoch_override, seed, max_tiles, mesh,
+):
+    """Train one model (one fold); writes the full §2.4 contract."""
+    model = build_model(hp)
+    tx = make_optimizer(hp)
+    rng = jax.random.PRNGKey(seed)
+    params, batch_stats = init_model(model, hp, rng)
+    opt_state = tx.init(params)
+
+    if mesh is None:
+        mesh = data_parallel_mesh()
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+    normalizer = make_normalizer(hp.normalizer)
+    train_step = jax.jit(
+        make_train_step(model, tx, hp, normalizer),
+        in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, b_shard,
+                      r_shard),
+        donate_argnums=(0, 1, 2),
+    )
+    eval_step = jax.jit(
+        make_eval_step(model, normalizer),
+        in_shardings=(r_shard, r_shard, b_shard),
+    )
+
+    # --- model dir -------------------------------------------------------------
+    n = _next_run_number(project.models_dir)
+    model_dir = join(
+        project.models_dir, _model_dir_name(n, outcome, exp_label, kfold)
+    )
+    os.makedirs(model_dir, exist_ok=True)
+    pd.DataFrame(
+        [{"slide": s, "dataset": "training"} for s in train_slides]
+        + [{"slide": s, "dataset": "validation"} for s in val_slides]
+    ).to_csv(join(model_dir, "slide_manifest.csv"), index=False)
+    with open(join(model_dir, "params.json"), "w") as f:
+        json.dump({"hp": hp.to_dict(), "outcome": outcome,
+                   "label": exp_label, "kfold": kfold}, f, indent=2)
+
+    train_tfr = [by_slide[s] for s in train_slides if s in by_slide]
+    val_tfr = [by_slide[s] for s in val_slides if s in by_slide]
+
+    train_batcher = TileBatcher(
+        train_tfr, labels, batch_size=hp.batch_size, shuffle=True,
+        infinite=True, seed=seed, jpeg_aug=("j" in (hp.augment or "")),
+        max_tiles=max_tiles,
+    )
+    n_tiles = len(train_batcher)
+    steps_per_epoch = max(1, n_tiles // hp.batch_size)
+    if steps_per_epoch_override:
+        steps_per_epoch = int(steps_per_epoch_override)
+    max_epoch = max(hp.epochs)
+
+    # Small held-out stream for mid-training early-stop checks.
+    val_batcher = None
+    if val_tfr and hp.early_stop:
+        val_batcher = TileBatcher(
+            val_tfr, labels, batch_size=hp.batch_size, shuffle=True,
+            infinite=True, seed=seed + 1, max_tiles=max_tiles,
+        )
+        val_iter = iter(val_batcher)
+
+    # --- training loop -----------------------------------------------------------
+    key = jax.random.PRNGKey(seed)
+    step = 0
+    early_stop_batch = None
+    best_val_acc, checks_since_best = -1.0, 0
+    es_patience = 5
+    results_rows = []
+    train_iter = iter(train_batcher)
+
+    for epoch in range(1, max_epoch + 1):
+        for _ in range(steps_per_epoch):
+            batch = next(train_iter)
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, metrics = train_step(
+                params, batch_stats, opt_state, batch["image"],
+                batch["label"], batch["mask"].astype(np.float32), sub,
+            )
+            step += 1
+
+            if (
+                val_batcher is not None
+                and hp.early_stop_method == "accuracy"
+                and step % validate_on_batch == 0
+                and early_stop_batch is None
+            ):
+                correct = total = 0
+                for _ in range(max(1, validation_steps // 8)):
+                    vb = next(val_iter)
+                    probs = np.asarray(
+                        eval_step(params, batch_stats, vb["image"])
+                    )
+                    m = np.asarray(vb["mask"])
+                    correct += (
+                        (probs.argmax(-1) == vb["label"]) * m
+                    ).sum()
+                    total += m.sum()
+                val_acc = correct / max(total, 1)
+                if val_acc > best_val_acc + 1e-4:
+                    best_val_acc, checks_since_best = val_acc, 0
+                else:
+                    checks_since_best += 1
+                if checks_since_best >= es_patience:
+                    early_stop_batch = step
+                    log.info(f"Early stop at batch {step} "
+                             f"(val acc {best_val_acc:.4f})")
+
+        # --- end of epoch: save predictions/results if requested --------------
+        if epoch in hp.epochs:
+            row = {"model_name": f"{outcome}-{exp_label}-HP0_epoch{epoch}"}
+            if val_tfr:
+                df, probs, unc = predict_tiles(
+                    params, batch_stats, model, hp, val_tfr, labels,
+                    mesh=mesh, max_tiles=max_tiles,
+                )
+                tile_df = tile_predictions_frame(outcome, df, probs, unc)
+                tile_df.to_csv(
+                    join(model_dir, f"tile_predictions_val_epoch{epoch}.csv"),
+                    index=False,
+                )
+                pt_df = group_predictions_frame(df, probs, patients, "patient")
+                pt_df.to_csv(
+                    join(
+                        model_dir,
+                        f"patient_predictions_{outcome}_val_epoch{epoch}.csv",
+                    ),
+                    index=False,
+                )
+                sl_df = group_predictions_frame(df, probs, patients, "slide")
+                sl_df.to_csv(
+                    join(
+                        model_dir,
+                        f"slide_predictions_{outcome}_val_epoch{epoch}.csv",
+                    ),
+                    index=False,
+                )
+                t_auc, t_ap = _level_metrics(df["y_true"], probs[:, 1])
+                s_auc, s_ap = _level_metrics(
+                    sl_df["y_true1"], sl_df["percent_tiles_positive1"]
+                )
+                p_auc, p_ap = _level_metrics(
+                    pt_df["y_true1"], pt_df["percent_tiles_positive1"]
+                )
+                row.update(
+                    {
+                        "patient_auc": json.dumps({outcome: [p_auc]}),
+                        "patient_ap": json.dumps({outcome: [p_ap]}),
+                        "slide_auc": json.dumps({outcome: [s_auc]}),
+                        "slide_ap": json.dumps({outcome: [s_ap]}),
+                        "tile_auc": json.dumps({outcome: [t_auc]}),
+                        "tile_ap": json.dumps({outcome: [t_ap]}),
+                    }
+                )
+            if early_stop_batch is not None:
+                row["early_stop_batch"] = early_stop_batch
+            results_rows.append(row)
+            if save_model:
+                save_checkpoint(
+                    model_dir, params, batch_stats, hp, epoch, outcome,
+                    exp_label, kfold,
+                )
+
+    train_batcher.close()
+    if val_batcher is not None:
+        val_batcher.close()
+    pd.DataFrame(results_rows).to_csv(
+        join(model_dir, "results_log.csv"), index=False
+    )
+    return model_dir

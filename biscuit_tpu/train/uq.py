@@ -1,0 +1,145 @@
+"""MC-dropout uncertainty quantification: K stochastic passes on-chip.
+
+Replaces slideflow's UQ path (SURVEY.md §2.3 E5/E6): with ``hp.uq=True`` the
+reference runs K=30 full stochastic forward passes per tile through
+TensorFlow and reduces per-tile softmax mean ('y_pred') and std
+('uncertainty') on host.
+
+TPU-first redesign — the published model's dropout lives exclusively in the
+hidden head (hp.py:11; slideflow builds Dense+Dropout hidden layers on top
+of a dropout-free Xception trunk), so the MC posterior over predictions is
+exactly reproduced by running the convolutional trunk ONCE per tile and
+vmapping K dropout-sampled head passes over the pooled features:
+
+    naive   K=30 full passes:  ~252 GFLOPs/tile  (30 x 8.4 GFLOP trunk)
+    here    1 trunk + 30 heads: ~8.6 GFLOPs/tile  (head is 2x1024 MLP)
+
+i.e. a ~29x algorithmic reduction before any kernel tuning, with bitwise-
+identical distribution of outputs (same stochastic graph). A fused Pallas
+kernel for the K-pass head lives in biscuit_tpu.ops.mcd_head and is used
+automatically for the published head shape on TPU; the lax fallback is
+used elsewhere. ``mc_dropout_full`` runs the naive full-pass variant for
+cross-checking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.normalize import make_normalizer, per_image_standardization
+
+
+def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
+                       use_pallas: Optional[bool] = None):
+    """(mean softmax, std softmax) over k dropout samples; trunk runs once.
+
+    Args:
+        x: preprocessed (normalized+standardized) f32 batch (B, H, W, 3).
+    Returns:
+        (probs_mean (B, C), probs_std (B, C)) — slideflow's 'y_pred' and
+        'uncertainty' columns.
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+    feats = model.apply(variables, x, train=False, method="features")
+    return mc_dropout_head(model, params, batch_stats, feats, key, k,
+                           use_pallas=use_pallas)
+
+
+def mc_dropout_head(model, params, batch_stats, feats, key, k: int = 30,
+                    use_pallas: Optional[bool] = None):
+    """K dropout-sampled head passes over precomputed features."""
+    if use_pallas is None:
+        use_pallas = _pallas_applicable(model, feats)
+    if use_pallas:
+        from ..ops.mcd_head import mcd_head_pallas
+
+        return mcd_head_pallas(params["head"], feats, key, k=k,
+                               dropout=model.dropout)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def one_pass(rng):
+        logits = model.apply(
+            variables, feats, mc_dropout=True, rngs={"dropout": rng},
+            method="head_logits",
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    probs = jax.vmap(one_pass)(jax.random.split(key, k))  # (K, B, C)
+    return probs.mean(axis=0), probs.std(axis=0)
+
+
+def mc_dropout_full(model, params, batch_stats, x, key, k: int = 30):
+    """Naive K full forward passes (reference-equivalent control path)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def one_pass(rng):
+        logits = model.apply(
+            variables, x, train=False, mc_dropout=True,
+            rngs={"dropout": rng},
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    probs = jax.vmap(one_pass)(jax.random.split(key, k))
+    return probs.mean(axis=0), probs.std(axis=0)
+
+
+def _pallas_applicable(model, feats) -> bool:
+    """The fused Pallas head kernel covers the published head shape: exactly
+    two hidden layers with lane-aligned (x128) widths, on a real TPU."""
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        return (
+            model.hidden_layers == 2
+            and feats.ndim == 2
+            and feats.shape[-1] % 128 == 0
+            and model.hidden_width % 128 == 0
+        )
+    except Exception:
+        return False
+
+
+class UncertaintyInterface:
+    """Standalone per-tile UQ inference over a saved model.
+
+    Stand-in for sf.model.tensorflow.UncertaintyInterface
+    (/root/reference/results.py:234-257): callable on a batch of RGB tiles,
+    returns (mean softmax, uncertainty); carries ``wsi_normalizer``.
+    """
+
+    def __init__(self, model_path: str, k: Optional[int] = None,
+                 use_pallas: Optional[bool] = None):
+        from .trainer import load_checkpoint
+
+        (self.model, self.params, self.batch_stats,
+         self.hp, self.meta) = load_checkpoint(model_path)
+        self.k = k if k is not None else self.hp.uq_samples
+        self.wsi_normalizer = make_normalizer(self.hp.normalizer)
+        self._key = jax.random.PRNGKey(0)
+
+        normalizer = self.wsi_normalizer
+
+        def _infer(params, batch_stats, images_u8, key):
+            x = images_u8.astype(jnp.float32)
+            if normalizer is not None:
+                x = normalizer(x)
+            x = per_image_standardization(x)
+            return mc_dropout_predict(
+                self.model, params, batch_stats, x, key, k=self.k,
+                use_pallas=use_pallas,
+            )
+
+        self._infer = jax.jit(_infer)
+
+    def __call__(self, tiles, key=None):
+        """tiles: (B, H, W, 3) uint8/float RGB [0,255] -> (probs, uncertainty)."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        tiles = jnp.asarray(tiles)
+        if tiles.ndim == 3:
+            tiles = tiles[None]
+        return self._infer(self.params, self.batch_stats, tiles, key)

@@ -1,0 +1,399 @@
+"""End-to-end tests for the model/trainer/UQ stack on a synthetic project
+(tiny Xception, 32px tiles, CPU). Verifies the SURVEY.md §2.4 on-disk
+contract end to end: train -> model dirs -> discovery -> predictions ->
+thresholds."""
+
+import io
+import json
+import os
+from os.path import join
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from biscuit_tpu import utils
+from biscuit_tpu.hp import ModelParams
+
+
+def tiny_hp(**kw):
+    base = dict(
+        model="xception_tiny",
+        tile_px=32,
+        tile_um=32,
+        batch_size=16,
+        epochs=[1],
+        early_stop=False,
+        dropout=0.1,
+        uq=False,
+        hidden_layer_width=32,
+        hidden_layers=2,
+        learning_rate=3e-3,
+        normalizer=None,
+        augment="xy",
+        uq_samples=8,
+    )
+    base.update(kw)
+    return ModelParams(**base)
+
+
+def make_tile(label, rng):
+    """Class-separable synthetic tile: class 0 reddish, class 1 bluish."""
+    img = rng.integers(40, 120, (32, 32, 3)).astype(np.uint8)
+    if label == 0:
+        img[..., 0] = np.clip(img[..., 0] + 100, 0, 255)
+    else:
+        img[..., 2] = np.clip(img[..., 2] + 100, 0, 255)
+    return img
+
+
+@pytest.fixture(scope="module")
+def synthetic_project(tmp_path_factory):
+    from PIL import Image
+
+    from biscuit_tpu.data.tfrecord import TFRecordWriter
+    from biscuit_tpu.project import Project
+
+    tmp = tmp_path_factory.mktemp("proj")
+    rng = np.random.default_rng(0)
+    n_slides, tiles_per = 12, 16
+    # site pairs one LUAD with one LUSC so folds stay class-balanced
+    ann = pd.DataFrame(
+        [
+            dict(
+                patient=f"TCGA-{i:02d}-P",
+                slide=f"sl{i}",
+                cohort="LUAD" if i % 2 == 0 else "LUSC",
+                site=f"{i // 2}",
+            )
+            for i in range(n_slides)
+        ]
+    )
+    ann_path = str(tmp / "ann.csv")
+    ann.to_csv(ann_path, index=False)
+    tfr_dir = tmp / "tfr"
+    tfr_dir.mkdir()
+    for i in range(n_slides):
+        label = i % 2
+        with TFRecordWriter(str(tfr_dir / f"sl{i}.tfrecords")) as w:
+            for t in range(tiles_per):
+                buf = io.BytesIO()
+                Image.fromarray(make_tile(label, rng)).save(buf, format="PNG")
+                w.write_tile(f"sl{i}", buf.getvalue(), loc_x=t, loc_y=0)
+    P = Project(str(tmp / "root"), annotations=ann_path, name="synth",
+                create=True)
+    P.add_source("SRC", tfrecords=str(tfr_dir))
+    return P
+
+
+class TestModel:
+    def test_forward_shapes(self):
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.models.xception import build_model
+
+        hp = tiny_hp()
+        model = build_model(hp)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        logits = model.apply(variables, x, train=False)
+        assert logits.shape == (2, 2)
+        assert logits.dtype == jnp.float32
+        feats = model.apply(variables, x, train=False, method="features")
+        assert feats.shape == (2, 128)  # tiny exit width
+
+    def test_train_changes_bn_stats(self):
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.models.xception import build_model
+
+        hp = tiny_hp()
+        model = build_model(hp)
+        x = jnp.ones((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        _, updates = model.apply(
+            variables, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        assert "batch_stats" in updates
+
+
+class TestUQ:
+    @pytest.fixture(scope="class")
+    def model_and_state(self):
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.models.xception import build_model
+
+        hp = tiny_hp(uq=True)
+        model = build_model(hp)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 255, (4, 32, 32, 3)),
+            jnp.float32,
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        return model, variables["params"], variables["batch_stats"], x
+
+    def test_fast_equals_full_distribution(self, model_and_state):
+        import jax
+
+        from biscuit_tpu.train.uq import mc_dropout_full, mc_dropout_predict
+
+        model, params, bs, x = model_and_state
+        key = jax.random.PRNGKey(3)
+        m_fast, s_fast = mc_dropout_predict(model, params, bs, x, key, k=64,
+                                            use_pallas=False)
+        m_full, s_full = mc_dropout_full(model, params, bs, x, key, k=64)
+        # Same stochastic graph, same key ordering -> identical results.
+        np.testing.assert_allclose(m_fast, m_full, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s_fast, s_full, rtol=1e-4, atol=1e-5)
+
+    def test_uncertainty_positive_and_probs_normalized(self, model_and_state):
+        import jax
+
+        from biscuit_tpu.train.uq import mc_dropout_predict
+
+        model, params, bs, x = model_and_state
+        mean, std = mc_dropout_predict(
+            model, params, bs, x, jax.random.PRNGKey(0), k=16,
+            use_pallas=False,
+        )
+        np.testing.assert_allclose(np.asarray(mean).sum(-1), 1.0, rtol=1e-5)
+        assert (np.asarray(std) >= 0).all()
+        assert np.asarray(std).max() > 0  # dropout produces spread
+
+    def test_deterministic_given_key(self, model_and_state):
+        import jax
+
+        from biscuit_tpu.train.uq import mc_dropout_predict
+
+        model, params, bs, x = model_and_state
+        a = mc_dropout_predict(model, params, bs, x, jax.random.PRNGKey(5),
+                               k=8, use_pallas=False)
+        b = mc_dropout_predict(model, params, bs, x, jax.random.PRNGKey(5),
+                               k=8, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+class TestPallasHead:
+    """Interpret-mode checks of the fused MC-dropout head kernel (the real
+    TPU run is covered by the 'tpu'-marked test below and bench.py)."""
+
+    def _params(self, f=128, h=128, c=2, seed=0):
+        import jax
+
+        from biscuit_tpu.models.xception import Head
+
+        head = Head(num_classes=c, hidden_layers=2, hidden_width=h)
+        feats = jax.random.normal(jax.random.PRNGKey(seed), (16, f))
+        params = head.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            feats,
+        )["params"]
+        return params, feats, head
+
+    def test_zero_dropout_matches_dense(self):
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.ops.mcd_head import mcd_head_pallas
+
+        params, feats, head = self._params()
+        mean, std = mcd_head_pallas(
+            params, feats, jax.random.PRNGKey(0), k=4, dropout=0.0,
+            interpret=True,
+        )
+        ref_logits = head.apply({"params": params}, feats)
+        ref = jax.nn.softmax(ref_logits, axis=-1)
+        # bf16 matmuls in the kernel vs f32 reference
+        np.testing.assert_allclose(mean, np.asarray(ref), atol=2e-2)
+        np.testing.assert_allclose(std, 0.0, atol=1e-6)
+
+    def test_unaligned_batch_padding(self):
+        import jax
+
+        from biscuit_tpu.ops.mcd_head import mcd_head_pallas
+
+        params, feats, _ = self._params()
+        mean, std = mcd_head_pallas(
+            params, feats[:13], jax.random.PRNGKey(0), k=2, dropout=0.0,
+            interpret=True,
+        )
+        assert mean.shape == (13, 2)
+        np.testing.assert_allclose(np.asarray(mean).sum(-1), 1.0, rtol=1e-5)
+
+
+@pytest.mark.tpu
+class TestPallasHeadTPU:
+    def test_kernel_on_chip(self):
+        import jax
+
+        from biscuit_tpu.models.xception import Head
+        from biscuit_tpu.ops.mcd_head import mcd_head_pallas
+
+        head = Head(num_classes=2, hidden_layers=2, hidden_width=1024)
+        feats = jax.random.normal(jax.random.PRNGKey(0), (256, 2048))
+        params = head.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            feats,
+        )["params"]
+        mean, std = mcd_head_pallas(params, feats, jax.random.PRNGKey(3),
+                                    k=30, dropout=0.1)
+        assert mean.shape == (256, 2)
+        np.testing.assert_allclose(np.asarray(mean).sum(-1), 1.0, rtol=1e-3)
+
+    def test_kernel_statistics_match_lax(self):
+        import jax
+
+        from biscuit_tpu.models.xception import Head
+        from biscuit_tpu.ops.mcd_head import mcd_head_pallas
+
+        head = Head(num_classes=2, hidden_layers=2, hidden_width=128,
+                    dropout=0.3)
+        feats = jax.random.normal(jax.random.PRNGKey(0), (32, 128))
+        params = head.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            feats,
+        )["params"]
+        k = 512
+        mean_p, std_p = mcd_head_pallas(params, feats, jax.random.PRNGKey(3),
+                                        k=k, dropout=0.3)
+
+        def one(rng):
+            logits = head.apply(
+                {"params": params}, feats, mc_dropout=True,
+                rngs={"dropout": rng},
+            )
+            return jax.nn.softmax(logits, -1)
+
+        probs = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(9), k))
+        # Different RNG streams -> statistical agreement only.
+        np.testing.assert_allclose(
+            np.asarray(mean_p), np.asarray(probs.mean(0)), atol=0.06
+        )
+        np.testing.assert_allclose(
+            np.asarray(std_p), np.asarray(probs.std(0)), atol=0.06
+        )
+
+
+class TestTrainerEndToEnd:
+    @pytest.fixture(scope="class")
+    def trained(self, synthetic_project):
+        hp = tiny_hp(uq=True)
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_T_UQ", params=hp,
+            val_k_fold=3, val_strategy="k-fold",
+        )
+        return synthetic_project, dirs
+
+    def test_model_dirs_and_discovery(self, trained):
+        P, dirs = trained
+        assert len(dirs) == 3
+        found = utils.find_cv(P, "EXP_T_UQ", outcome="cohort", k=3)
+        assert sorted(found) == sorted(dirs)
+        assert utils.model_exists(P, "EXP_T_UQ", outcome="cohort", kfold=2)
+
+    def test_results_log_contract(self, trained):
+        P, dirs = trained
+        res = utils.get_model_results(dirs[0], epoch=1, outcome="cohort")
+        for k in ("pt_auc", "slide_auc", "tile_auc", "opt_thresh"):
+            assert res[k] is not None
+        assert 0 <= res["tile_auc"] <= 1
+
+    def test_tile_predictions_contract(self, trained):
+        P, dirs = trained
+        df = pd.read_csv(join(dirs[0], "tile_predictions_val_epoch1.csv"))
+        for col in ("slide", "cohort_y_true0", "cohort_y_pred1",
+                    "cohort_uncertainty1"):
+            assert col in df.columns
+        utils.rename_cols(df, "cohort")
+        assert {"y_true", "y_pred", "uncertainty"} <= set(df.columns)
+        assert not df["y_pred"].isna().any()
+        assert ((df["y_pred"] >= 0) & (df["y_pred"] <= 1)).all()
+        assert (df["uncertainty"] >= 0).all()
+
+    def test_df_from_cv_and_detect(self, trained):
+        from biscuit_tpu import threshold
+
+        P, dirs = trained
+        dfs = utils.df_from_cv(P, "EXP_T_UQ", outcome="cohort", k=3)
+        assert len(dfs) == 3
+        th, auc = threshold.detect(dfs[0])
+        assert th["tile_pred"] is not None
+
+    def test_learns_separable_classes(self, trained):
+        P, dirs = trained
+        aucs = [
+            utils.get_model_results(d, epoch=1, outcome="cohort")["tile_auc"]
+            for d in dirs
+        ]
+        # Color-separable classes: even a tiny model should learn this.
+        assert np.mean(aucs) > 0.85
+
+    def test_slide_manifest(self, trained):
+        P, dirs = trained
+        m = pd.read_csv(join(dirs[0], "slide_manifest.csv"))
+        assert set(m["dataset"]) == {"training", "validation"}
+        slides = utils.get_slides_from_model_manifest(dirs[0],
+                                                      dataset="training")
+        assert len(slides) == 8  # 12 slides, 3-fold -> 8 train
+
+
+class TestSaveEvalInterface:
+    @pytest.fixture(scope="class")
+    def full_model(self, synthetic_project):
+        hp = tiny_hp(uq=True)
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_T_FULL", params=hp,
+            val_strategy="none", save_model=True,
+        )
+        model_path = utils.find_model(
+            synthetic_project, "EXP_T_FULL", outcome="cohort", epoch=1
+        )
+        return synthetic_project, model_path
+
+    def test_checkpoint_saved(self, full_model):
+        P, model_path = full_model
+        assert os.path.exists(join(model_path, "model.msgpack"))
+        assert json.load(open(join(model_path, "params.json")))["outcome"] == "cohort"
+
+    def test_uncertainty_interface(self, full_model):
+        import jax
+
+        from biscuit_tpu.train.uq import UncertaintyInterface
+
+        P, model_path = full_model
+        iface = UncertaintyInterface(model_path, k=4)
+        tiles = np.stack(
+            [make_tile(i % 2, np.random.default_rng(i)) for i in range(4)]
+        )
+        probs, unc = iface(tiles, key=jax.random.PRNGKey(0))
+        assert probs.shape == (4, 2)
+        assert unc.shape == (4, 2)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)
+
+    def test_evaluate_project(self, full_model):
+        P, model_path = full_model
+        results = P.evaluate(model_path, "cohort")
+        assert utils.eval_exists(P, "EXP_T_FULL", outcome="cohort", epoch=1)
+        eval_dir = utils.find_eval(P, "EXP_T_FULL", outcome="cohort", epoch=1)
+        res = utils.get_eval_results(eval_dir, outcome="cohort")
+        assert res["tile_auc"] is not None
+        tile_df = pd.read_csv(join(eval_dir, "tile_predictions_eval.csv"))
+        assert "cohort_uncertainty1" in tile_df.columns
+        yt, yp = utils.read_group_predictions(
+            join(eval_dir, "patient_predictions_cohort_eval.csv")
+        )
+        assert len(yt) == 12
