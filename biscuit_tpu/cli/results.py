@@ -1,0 +1,166 @@
+"""Results/figures CLI: regenerate the paper figures.
+
+Equivalent of /root/reference/results.py (352 LoC): cross-validation curves
+(Figs 2-4 data), class-ratio comparisons, UQ heatmaps with high-confidence
+masking (Fig 5, results.py:216-227), per-tile UQ inference + tile export by
+uncertainty (results.py:234-265), UMAP mosaics (Fig 6, results.py:269-306),
+and GAN results (Fig 7, results.py:310-347).
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import click
+import numpy as np
+
+from ..experiment import ALL_EXP, Experiment
+from ..utils_log import log
+
+
+@click.command()
+@click.option("--train_project", default="projects/training")
+@click.option("--eval_project", "eval_projects", multiple=True,
+              default=("projects/evaluation",))
+@click.option("--outcome", default="cohort")
+@click.option("--outdir", default="results")
+@click.option("--reg", default=True, type=bool,
+              help="Assemble regular cross-val/eval results + figures.")
+@click.option("--ratio", default=False, type=bool,
+              help="Assemble class-ratio experiment results.")
+@click.option("--umap", "umaps", default=False, type=bool,
+              help="Generate UMAP mosaics (Figure 6).")
+@click.option("--heatmap", "heatmaps", default=False, type=bool,
+              help="Generate UQ heatmaps (Figure 5).")
+@click.option("--heatmap_slide", default=None,
+              help="Slide image path for the heatmap figure.")
+@click.option("--gan", default=False, type=bool,
+              help="Assemble GAN-fraction results (Figure 7).")
+@click.option("--subset", default=None,
+              help="Comma-separated experiment IDs (default: full ladder).")
+def show_results(train_project, eval_projects, outcome, outdir, reg, ratio,
+                 umaps, heatmaps, heatmap_slide, gan, subset):
+    """Assemble results and regenerate figures (results.py:33-267)."""
+    exp = Experiment(
+        train_project, eval_projects=list(eval_projects),
+        outcome=outcome, outdir=outdir,
+    )
+    os.makedirs(outdir, exist_ok=True)
+    ladder = list(ALL_EXP) if subset is None else subset.split(",")
+
+    if reg:
+        df, eval_dfs = exp.results(ladder, uq=True, eval=True)
+        if len(df):
+            exp.display(df, eval_dfs, hue="uq")
+            click.echo(f"Cross-val results: {len(df)} rows -> "
+                       f"{join(outdir, 'crossval_results.csv')}")
+
+    if ratio:
+        # 3:1 and 10:1 ratio experiments over the AMDPGZ subset
+        # (results.py:133-167, train.py:79-86).
+        ratio_rows = []
+        for r in (3, 10):
+            labels = [f"{e}_RATIO_{r}" for e in ("A", "M", "D", "P", "G", "Z")]
+            labels += [lbl + "i" for lbl in labels]
+            rdf, _ = exp.results(
+                [lbl for lbl in labels], uq=True, eval=False
+            )
+            if len(rdf):
+                rdf["ratio"] = r
+                ratio_rows.append(rdf)
+        if ratio_rows:
+            import pandas as pd
+
+            pd.concat(ratio_rows, ignore_index=True).to_csv(
+                join(outdir, "ratio_results.csv"), index=False
+            )
+            click.echo(f"Ratio results -> {join(outdir, 'ratio_results.csv')}")
+
+    if gan:
+        gan_rows = []
+        for frac in (10, 20, 30, 40, 50):
+            labels = [f"{e}_GAN_{frac}" for e in ALL_EXP if e in ladder]
+            gdf, _ = exp.results(labels, uq=True, eval=False)
+            if len(gdf):
+                gdf["gan_fraction"] = frac
+                gan_rows.append(gdf)
+        if gan_rows:
+            import pandas as pd
+
+            pd.concat(gan_rows, ignore_index=True).to_csv(
+                join(outdir, "gan_results.csv"), index=False
+            )
+            click.echo(f"GAN results -> {join(outdir, 'gan_results.csv')}")
+
+    if heatmaps:
+        _generate_uq_heatmaps(exp, heatmap_slide, outdir)
+
+    if umaps:
+        _generate_umap_mosaics(exp, outdir)
+
+
+def _generate_uq_heatmaps(exp, slide_path, outdir):
+    """Figure 5: whole-slide heatmap with high-confidence masking
+    (results.py:179-227): recompute the tile-UQ threshold from nested CV,
+    run grid inference, mask uncertain tiles to [-1, -1]."""
+    from .. import utils
+    from ..heatmap import Heatmap
+
+    if slide_path is None:
+        slides = exp.train_project.dataset().slide_paths()
+        if not slides:
+            log.warning("No slide images registered; skipping heatmaps")
+            return
+        slide_path = slides[0]
+
+    _, thresh = exp.thresholds_from_nested_cv("EXP_AA_UQ")
+    if thresh["tile_uq"] is None:
+        log.warning("No nested-CV thresholds for EXP_AA_UQ; skipping heatmap")
+        return
+    model = utils.find_model(
+        exp.train_project, "EXP_AA_FULL", outcome=exp.outcome, epoch=1
+    )
+    hm = Heatmap(slide_path, model, stride_div=1)
+    hm.save(join(outdir, "heatmap_raw"))
+    # High-confidence masking (results.py:222-227).
+    uq_mask = hm.uncertainty[:, :, 0] > thresh["tile_uq"]
+    hm.logits[uq_mask, :] = [-1, -1]
+    hm.save(join(outdir, "heatmap_masked"))
+    click.echo(f"Heatmaps -> {outdir}")
+
+
+def _generate_umap_mosaics(exp, outdir):
+    """Figure 6: UMAP of penultimate features labeled by logits /
+    uncertainty / slide + tile mosaic (results.py:269-306)."""
+    from PIL import Image
+
+    from .. import utils
+    from ..mosaic import generate_features, generate_mosaic, slide_map_from_features
+
+    model = utils.find_model(
+        exp.train_project, "EXP_AA_FULL", outcome=exp.outcome, epoch=1
+    )
+    tfrecords = exp.train_project.dataset().tfrecords()
+    if not tfrecords:
+        log.warning("No tfrecords found; skipping UMAP")
+        return
+    features, meta, tiles = generate_features(
+        model, tfrecords, max_tiles=100, keep_tiles=True,
+        cache=join(outdir, "feature_cache.npz"),
+    )
+    smap = slide_map_from_features(features, meta, tiles)
+    smap.label_by_logits(1)
+    smap.save(join(outdir, "umap_logits.png"))
+    smap.label_by_uncertainty(1)
+    smap.save(join(outdir, "umap_uncertainty.png"))
+    smap.label_by_slide()
+    smap.save(join(outdir, "umap_slide.png"))
+    if tiles is not None:
+        mosaic_img = generate_mosaic(features, meta, tiles)
+        Image.fromarray(mosaic_img).save(join(outdir, "mosaic.png"))
+    click.echo(f"UMAP figures -> {outdir}")
+
+
+if __name__ == "__main__":
+    show_results()

@@ -1,0 +1,113 @@
+"""Experiment-matrix training CLI.
+
+Equivalent of /root/reference/train.py (101 LoC): runs the published grid —
+regular experiments (forward/reverse x two orderings), 3:1/10:1 class-ratio
+experiments on the 'AMDPGZ' subset, and GAN-fraction experiments (10-50%)
+— via Experiment.run, with the same `--steps` range parser (train.py:14-23).
+"""
+
+from __future__ import annotations
+
+import click
+
+from ..experiment import ALL_EXP, Experiment
+
+
+def num_range(s: str):
+    """Parse '1-6' or '1,3,5' or '4' into a list of ints (train.py:14-23)."""
+    if "-" in s:
+        lo, hi = s.split("-")
+        return list(range(int(lo), int(hi) + 1))
+    if "," in s:
+        return [int(x) for x in s.split(",")]
+    return [int(s)]
+
+
+@click.command()
+@click.option("--train_project", default="projects/training",
+              help="Path to training project.")
+@click.option("--eval_project", "eval_projects", multiple=True,
+              default=("projects/evaluation",),
+              help="Path(s) to evaluation project(s).")
+@click.option("--outcome", default="cohort")
+@click.option("--outcome1", default="LUAD")
+@click.option("--outcome2", default="LUSC")
+@click.option("--steps", default="1-6", help="Steps to run, e.g. 1-6 or 2,3.")
+@click.option("--reg", default=True, type=bool,
+              help="Run regular experiment matrix.")
+@click.option("--ratio", default=True, type=bool,
+              help="Run 3:1 and 10:1 class-ratio experiments.")
+@click.option("--gan", default=False, type=bool,
+              help="Run GAN-fraction experiments.")
+@click.option("--subset", default=None,
+              help="Comma-separated experiment IDs (default: full ladder).")
+@click.option("--hp_json", default=None,
+              help="JSON file overriding hyperparameters (ModelParams "
+                   "fields); default is the published nature2022 config.")
+@click.option("--orderings", default=True, type=bool,
+              help="Include the reverse/order2 orderings of the reg matrix.")
+def train_models(train_project, eval_projects, outcome, outcome1, outcome2,
+                 steps, reg, ratio, gan, subset, hp_json, orderings):
+    """Train the published experiment grid (train.py:27-96)."""
+    experiment = Experiment(
+        train_project,
+        eval_projects=list(eval_projects),
+        outcome=outcome,
+        outcome1=outcome1,
+        outcome2=outcome2,
+    )
+    hp = "nature2022"
+    if hp_json:
+        import json
+
+        from ..hp import ModelParams, nature2022_params
+
+        base = nature2022_params().to_dict()
+        with open(hp_json) as f:
+            base.update(json.load(f))
+        hp = ModelParams.from_dict(base)
+    step_list = num_range(steps)
+    to_run = {}
+
+    ladder = list(ALL_EXP) if subset is None else subset.split(",")
+    if reg:
+        # Forward and reverse orderings over two order columns
+        # (train.py:61-77).
+        to_run.update(Experiment.config("{}", ladder, 1, order="f"))
+        if orderings:
+            to_run.update(
+                Experiment.config("{}_R1", ladder, 1, order="r")
+            )
+            to_run.update(
+                Experiment.config("{}_R2", ladder, 1, order="r",
+                                  order_col="order2")
+            )
+    if ratio:
+        ratio_subset = [e for e in ("A", "M", "D", "P", "G", "Z")
+                        if e in ladder]
+        to_run.update(
+            Experiment.config("{}_RATIO_3", ratio_subset, 3)
+        )
+        to_run.update(
+            Experiment.config("{}_RATIO_10", ratio_subset, 10)
+        )
+    if gan:
+        gan_subset = [
+            e for e in ("U", "T", "S", "R", "A", "L", "M", "N", "D", "O",
+                        "P", "Q", "G", "Z")
+            if e in ladder
+        ]
+        for frac in (0.1, 0.2, 0.3, 0.4, 0.5):
+            to_run.update(
+                Experiment.config(
+                    "{}_GAN_" + f"{int(frac * 100)}", gan_subset, 1,
+                    gan=frac,
+                )
+            )
+
+    click.echo(f"Running {len(to_run)} experiments, steps {step_list}")
+    experiment.run(to_run, steps=step_list, hp=hp)
+
+
+if __name__ == "__main__":
+    train_models()

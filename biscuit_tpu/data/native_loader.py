@@ -1,0 +1,162 @@
+"""ctypes bindings for the native data-plane library (native/).
+
+Provides hardware CRC32C, libpng/libjpeg tile decode, tfrecord indexing,
+and the threaded batch read+decode pipeline that feeds the TPU input
+stream. Falls back gracefully (callers catch ImportError/OSError) when the
+shared library has not been built; build with ``make -C native`` or
+:func:`build`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbiscuit_native.so")
+
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library; returns the .so path."""
+    if force or not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        raise OSError(f"native library not built: {_LIB_PATH}")
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.bn_crc32c.restype = ctypes.c_uint32
+    lib.bn_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.bn_decode_image.restype = ctypes.c_int
+    lib.bn_decode_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.bn_index_tfrecord.restype = ctypes.c_long
+    lib.bn_index_tfrecord.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+    ]
+    lib.bn_read_decode_batch.restype = ctypes.c_long
+    lib.bn_read_decode_batch.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.bn_version.restype = ctypes.c_char_p
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
+def native_crc32c(data: bytes) -> int:
+    return int(_load().bn_crc32c(data, len(data)))
+
+
+def native_decode(raw: bytes) -> Optional[np.ndarray]:
+    """Decode a PNG/JPEG tile to HWC uint8 RGB; None if undecodable."""
+    lib = _load()
+    # Generous capacity guess: decode once to find dims via header...
+    # PNG/JPEG dims are cheap to over-allocate for tiles; use 4096^2 cap
+    # only if needed. Start with 1024x1024.
+    cap = 1024 * 1024 * 3
+    out = np.empty(cap, np.uint8)
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.bn_decode_image(
+        raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap,
+        ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc == -4:  # buffer too small; retry with a big one
+        cap = 16384 * 16384 * 3
+        out = np.empty(cap, np.uint8)
+        rc = lib.bn_decode_image(
+            raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(w), ctypes.byref(h),
+        )
+    if rc != 0:
+        return None
+    return out[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def native_index_tfrecord(path: str) -> np.ndarray:
+    lib = _load()
+    cap = 1 << 16
+    while True:
+        offsets = np.zeros(cap, np.int64)
+        n = lib.bn_index_tfrecord(
+            path.encode(), offsets.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int64)), cap,
+        )
+        if n == -2:
+            cap *= 4
+            continue
+        if n < 0:
+            raise IOError(f"failed to index {path}")
+        return offsets[:n].copy()
+
+
+def native_read_decode_batch(
+    path: str,
+    offsets: np.ndarray,
+    tile_px: int,
+    verify_crc: bool = False,
+    threads: int = 0,
+    slide_width: int = 128,
+) -> Tuple[np.ndarray, List[str], np.ndarray, np.ndarray, int]:
+    """Threaded read+parse+decode of `len(offsets)` tiles from one tfrecord.
+
+    Returns (images (N,tile,tile,3) uint8, slides, locs (N,2) int64,
+    labels (N,) int64, n_ok). Failed tiles are zero-filled with loc_x=-1.
+    """
+    lib = _load()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets)
+    images = np.empty((n, tile_px, tile_px, 3), np.uint8)
+    slides = ctypes.create_string_buffer(n * slide_width)
+    locs = np.zeros((n, 2), np.int64)
+    labels = np.full((n,), -1, np.int64)
+    ok = lib.bn_read_decode_batch(
+        path.encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, tile_px,
+        images.ctypes.data_as(ctypes.c_void_p),
+        slides, slide_width,
+        locs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if verify_crc else 0, threads,
+    )
+    if ok < 0:
+        raise IOError(f"native batch read failed for {path} (rc={ok})")
+    slide_names = [
+        slides.raw[i * slide_width:(i + 1) * slide_width]
+        .split(b"\x00")[0].decode()
+        for i in range(n)
+    ]
+    return images, slide_names, locs, labels, int(ok)
+
+
+def version() -> str:
+    return _load().bn_version().decode()

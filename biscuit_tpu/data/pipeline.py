@@ -63,6 +63,8 @@ class TileBatcher:
         shard: int = 0,
         num_shards: int = 1,
         max_tiles: Optional[int] = None,
+        tile_px: Optional[int] = None,
+        use_native: Optional[bool] = None,
     ):
         self.paths = list(tfrecords)
         self.labels = labels or {}
@@ -71,6 +73,15 @@ class TileBatcher:
         self.infinite = infinite
         self.jpeg_aug = jpeg_aug
         self.rng = np.random.default_rng(seed)
+        self.tile_px = tile_px
+        if use_native is None:
+            try:
+                from .native_loader import available
+
+                use_native = available()
+            except Exception:
+                use_native = False
+        self.use_native = use_native
 
         entries: List[Tuple[int, int]] = []
         for pi, path in enumerate(self.paths):
@@ -111,6 +122,47 @@ class TileBatcher:
         loc_y = ex.get("loc_y", [0])
         return img, slide, int(loc_x[0]), int(loc_y[0])
 
+    def _gather_native(self, idx):
+        """Threaded C++ read+parse+decode, grouped per source file; falls
+        back to the Python path for any tile the native decoder rejects."""
+        from .native_loader import native_read_decode_batch
+
+        n = len(idx)
+        imgs = np.empty((n, self.tile_px, self.tile_px, 3), np.uint8)
+        slides = [""] * n
+        locs = np.zeros((n, 2), np.int64)
+        by_file: Dict[int, list] = {}
+        for row, i in enumerate(idx):
+            pi, off = self.entries[i]
+            by_file.setdefault(int(pi), []).append((row, int(off)))
+        for pi, items in by_file.items():
+            rows = [r for r, _ in items]
+            offsets = np.asarray([o for _, o in items], np.int64)
+            b_imgs, b_slides, b_locs, _labels, _ok = native_read_decode_batch(
+                self.paths[pi], offsets, self.tile_px
+            )
+            for j, row in enumerate(rows):
+                if b_locs[j, 0] == -1:  # native decode failed: python path
+                    img, slide, lx, ly = self._read_tile(pi, offsets[j])
+                    imgs[row] = img
+                    slides[row] = slide
+                    locs[row] = (lx, ly)
+                else:
+                    imgs[row] = b_imgs[j]
+                    slides[row] = b_slides[j] or self._slide_names[pi]
+                    locs[row] = b_locs[j]
+        return imgs, slides, locs
+
+    def _gather_python(self, idx):
+        imgs, slides, locs = [], [], []
+        for i in idx:
+            pi, off = self.entries[i]
+            img, slide, lx, ly = self._read_tile(pi, off)
+            imgs.append(img)
+            slides.append(slide)
+            locs.append((lx, ly))
+        return np.stack(imgs), slides, np.asarray(locs, np.int64)
+
     def __iter__(self) -> Iterator[dict]:
         while True:
             order = np.arange(len(self.entries))
@@ -118,26 +170,35 @@ class TileBatcher:
                 self.rng.shuffle(order)
             for start in range(0, len(order), self.batch_size):
                 idx = order[start:start + self.batch_size]
-                imgs, slides, labels, locs = [], [], [], []
-                for i in idx:
-                    pi, off = self.entries[i]
-                    img, slide, lx, ly = self._read_tile(pi, off)
-                    imgs.append(img)
-                    slides.append(slide)
-                    labels.append(self.labels.get(slide, -1))
-                    locs.append((lx, ly))
-                n_valid = len(imgs)
-                # Pad to a static batch size (mask marks real rows).
-                while len(imgs) < self.batch_size:
-                    imgs.append(np.zeros_like(imgs[0]))
-                    slides.append("")
-                    labels.append(-1)
-                    locs.append((0, 0))
+                use_native = (
+                    self.use_native
+                    and not self.jpeg_aug
+                    and self.tile_px is not None
+                )
+                if use_native:
+                    imgs, slides, locs = self._gather_native(idx)
+                else:
+                    imgs, slides, locs = self._gather_python(idx)
+                n_valid = len(idx)
+                labels = np.asarray(
+                    [self.labels.get(s, -1) for s in slides], np.int32
+                )
+                if n_valid < self.batch_size:
+                    # Pad to a static batch size (mask marks real rows).
+                    pad = self.batch_size - n_valid
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+                    )
+                    slides = list(slides) + [""] * pad
+                    labels = np.concatenate(
+                        [labels, np.full(pad, -1, np.int32)]
+                    )
+                    locs = np.concatenate([locs, np.zeros((pad, 2), np.int64)])
                 yield {
-                    "image": np.stack(imgs),
-                    "label": np.asarray(labels, np.int32),
+                    "image": imgs,
+                    "label": labels,
                     "slide": slides,
-                    "loc": np.asarray(locs, np.int32),
+                    "loc": locs.astype(np.int32),
                     "mask": np.arange(self.batch_size) < n_valid,
                 }
             if not self.infinite:

@@ -1,0 +1,264 @@
+"""Whole-slide image reading, QC, and tile extraction into tfrecords.
+
+TPU-native stand-in for slideflow's libvips/cuCIM slide stack (SURVEY.md
+§2.3 E3, E8; reference call sites configure.py:115-133, results.py:235-248).
+
+Reader backend: PIL (pyramidal/plain TIFF, PNG, JPEG). Proprietary WSI
+containers (.svs, .ndpi) are TIFF-based and open via PIL for the common
+cases; an OpenSlide backend slots in here when available (gated import —
+not in this environment).
+
+QC follows the reference semantics of ``qc='both'`` (configure.py:118-124):
+* Otsu threshold on the slide thumbnail's grayscale -> tissue mask; a tile
+  must cover enough tissue.
+* Blur filter: variance-of-Laplacian on the tile; out-of-focus/background
+  tiles drop below threshold.
+
+Grid geometry matches slideflow: tiles of ``tile_um`` microns at the
+slide's MPP, resized to ``tile_px`` pixels, on a stride of extraction
+size / ``stride_div``.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import basename, join, splitext
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..utils_log import log
+
+DEFAULT_MPP = 1.0  # assumed microns-per-pixel when the file has no metadata
+BLUR_THRESHOLD = 15.0
+TISSUE_FRACTION = 0.25
+
+
+def otsu_threshold(gray: np.ndarray) -> float:
+    """Otsu's method on a uint8 grayscale array."""
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = gray.size
+    sum_all = (np.arange(256) * hist).sum()
+    sum_b = 0.0
+    w_b = 0.0
+    best_var, best_t = -1.0, 127
+    for t in range(256):
+        w_b += hist[t]
+        if w_b == 0:
+            continue
+        w_f = total - w_b
+        if w_f == 0:
+            break
+        sum_b += t * hist[t]
+        m_b = sum_b / w_b
+        m_f = (sum_all - sum_b) / w_f
+        var_between = w_b * w_f * (m_b - m_f) ** 2
+        if var_between > best_var:
+            best_var, best_t = var_between, t
+    return float(best_t)
+
+
+def laplacian_variance(gray: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian (focus/blur metric)."""
+    g = gray.astype(np.float32)
+    lap = (
+        -4 * g[1:-1, 1:-1]
+        + g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+    )
+    return float(lap.var())
+
+
+class WSI:
+    """Whole-slide image with a tile grid (stand-in for sf.WSI,
+    results.py:235-248)."""
+
+    def __init__(
+        self,
+        path: str,
+        tile_px: int,
+        tile_um: int,
+        mpp: Optional[float] = None,
+        roi_method: str = "ignore",
+        stride_div: int = 1,
+        qc: Optional[str] = None,
+        rois: Optional[list] = None,
+    ):
+        from PIL import Image
+
+        Image.MAX_IMAGE_PIXELS = None
+        self.path = path
+        self.name = splitext(basename(path))[0]
+        self.tile_px = tile_px
+        self.tile_um = tile_um
+        self.roi_method = roi_method
+        self._img = Image.open(path)
+        self.width, self.height = self._img.size
+        self.mpp = mpp if mpp is not None else self._detect_mpp()
+        # Extraction size at level 0 and stride.
+        self.extract_px = max(1, int(round(tile_um / self.mpp)))
+        self.stride = max(1, self.extract_px // stride_div)
+        self.grid_x = max(0, (self.width - self.extract_px) // self.stride + 1)
+        self.grid_y = max(0, (self.height - self.extract_px) // self.stride + 1)
+        self.qc = qc
+        self._tissue_mask = None
+        self.rois = rois
+        if qc in ("otsu", "both"):
+            self._compute_tissue_mask()
+
+    def _detect_mpp(self) -> float:
+        """MPP from TIFF resolution tags when present, else DEFAULT_MPP."""
+        try:
+            info = dict(self._img.tag_v2) if hasattr(self._img, "tag_v2") else {}
+            # XResolution tag 282 in pixels per resolution unit (2=inch, 3=cm)
+            xres = info.get(282)
+            unit = info.get(296, 2)
+            if xres:
+                xres = float(xres)
+                if unit == 3:  # px/cm -> um/px
+                    return 10000.0 / xres
+                return 25400.0 / xres
+        except Exception:
+            pass
+        return DEFAULT_MPP
+
+    def _compute_tissue_mask(self):
+        thumb_scale = max(1, max(self.width, self.height) // 1024)
+        thumb = self._img.resize(
+            (max(1, self.width // thumb_scale),
+             max(1, self.height // thumb_scale))
+        ).convert("L")
+        gray = np.asarray(thumb)
+        t = otsu_threshold(gray)
+        # Tissue is darker than background on brightfield H&E.
+        self._tissue_mask = gray < t
+        self._thumb_scale = thumb_scale
+
+    def _tile_is_tissue(self, x: int, y: int) -> bool:
+        if self._tissue_mask is None:
+            return True
+        s = self._thumb_scale
+        mx0, my0 = x // s, y // s
+        mx1 = max(mx0 + 1, (x + self.extract_px) // s)
+        my1 = max(my0 + 1, (y + self.extract_px) // s)
+        region = self._tissue_mask[my0:my1, mx0:mx1]
+        return region.size > 0 and region.mean() >= TISSUE_FRACTION
+
+    def coords(self):
+        """All grid coordinates as (grid_i, grid_j, x, y)."""
+        out = []
+        for j in range(self.grid_y):
+            for i in range(self.grid_x):
+                out.append((i, j, i * self.stride, j * self.stride))
+        return out
+
+    def read_tile(self, x: int, y: int) -> np.ndarray:
+        """Extract one tile at level-0 (x, y), resized to tile_px."""
+        from PIL import Image
+
+        region = self._img.crop(
+            (x, y, x + self.extract_px, y + self.extract_px)
+        ).convert("RGB")
+        if region.size != (self.tile_px, self.tile_px):
+            region = region.resize(
+                (self.tile_px, self.tile_px), Image.BILINEAR
+            )
+        return np.asarray(region)
+
+    def build_generator(self, shuffle: bool = False,
+                        include_loc: str = "grid",
+                        seed: int = 0) -> Iterator[dict]:
+        """Tile generator (sf.WSI.build_generator contract,
+        results.py:240-248): yields {'image': HWC uint8, 'loc': (i, j)}."""
+        coords = self.coords()
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            coords = [coords[i] for i in rng.permutation(len(coords))]
+
+        def generator():
+            for i, j, x, y in coords:
+                if self.qc in ("otsu", "both") and not self._tile_is_tissue(x, y):
+                    continue
+                img = self.read_tile(x, y)
+                if self.qc in ("blur", "both"):
+                    gray = np.asarray(img, np.float32).mean(axis=-1)
+                    if laplacian_variance(gray.astype(np.uint8)) < BLUR_THRESHOLD:
+                        continue
+                item = {"image": img}
+                if include_loc == "grid":
+                    item["loc"] = (i, j)
+                else:
+                    item["loc"] = (x, y)
+                yield item
+
+        return generator
+
+    def extract_tiles(self, tfrecord_path: str, img_format: str = "png",
+                      shuffle: bool = False) -> int:
+        """Extract all QC-passing tiles into a tfrecord; returns count."""
+        import io
+
+        from PIL import Image
+
+        from .tfrecord import TFRecordWriter
+
+        n = 0
+        with TFRecordWriter(tfrecord_path) as w:
+            for item in self.build_generator(shuffle=shuffle)():
+                buf = io.BytesIO()
+                Image.fromarray(item["image"]).save(
+                    buf, format=img_format.upper()
+                )
+                w.write_tile(
+                    self.name, buf.getvalue(),
+                    loc_x=item["loc"][0], loc_y=item["loc"][1],
+                )
+                n += 1
+        return n
+
+
+def extract_tiles_for_project(project, tile_px=299, tile_um=302, qc=None,
+                              img_format="png", source=None, **kwargs):
+    """Extract tiles for every annotated slide with a registered slide file
+    (sf.Project.extract_tiles contract, configure.py:115-133). Writes
+    per-slide tfrecords under `tfrecords/{tile_px}px_{tile_um}um/` and an
+    extraction report CSV."""
+    import pandas as pd
+
+    report = []
+    sources = [source] if source else project.sources
+    for src in sources:
+        try:
+            cfg = project.source_config(src)
+        except (FileNotFoundError, KeyError):
+            continue
+        slides_dir = cfg.get("slides", "")
+        tfr_root = cfg.get("tfrecords", "")
+        if not slides_dir or not os.path.isdir(slides_dir):
+            log.debug(f"Source {src}: no slides directory; skipping")
+            continue
+        out_dir = join(tfr_root, f"{tile_px}px_{tile_um}um")
+        os.makedirs(out_dir, exist_ok=True)
+        annotated = set(project.dataset(verification=None).slides())
+        for fname in sorted(os.listdir(slides_dir)):
+            name, ext = splitext(fname)
+            if ext.lower() not in (".svs", ".tif", ".tiff", ".png", ".jpg",
+                                   ".jpeg"):
+                continue
+            if annotated and name not in annotated:
+                continue
+            out_path = join(out_dir, f"{name}.tfrecords")
+            if os.path.exists(out_path):
+                log.debug(f"{name}: tfrecord exists; skipping")
+                continue
+            wsi = WSI(join(slides_dir, fname), tile_px, tile_um, qc=qc,
+                      **kwargs)
+            n = wsi.extract_tiles(out_path, img_format=img_format)
+            report.append({"slide": name, "tiles": n, "source": src,
+                           "grid": f"{wsi.grid_x}x{wsi.grid_y}"})
+            log.info(f"Extracted {n} tiles from {name}")
+    if report:
+        pd.DataFrame(report).to_csv(
+            join(project.root, f"extraction_report_{tile_px}px.csv"),
+            index=False,
+        )
+    return report

@@ -166,7 +166,8 @@ def load_index(path: str) -> np.ndarray:
                 break
             (length,) = struct.unpack("<Q", header)
             offsets.append(pos)
-            f.seek(length + 4, os.SEEK_CUR)
+            # Skip header CRC (4) + payload + payload CRC (4).
+            f.seek(4 + length + 4, os.SEEK_CUR)
             pos += 8 + 4 + length + 4
     arr = np.asarray(offsets, np.int64)
     try:

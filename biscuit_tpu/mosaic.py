@@ -1,0 +1,206 @@
+"""Feature extraction, 2-D embedding maps, and tile mosaics.
+
+Stand-in for slideflow's generate_features / SlideMap / generate_mosaic
+(SURVEY.md §2.3 E9; reference call sites results.py:269-306): dump
+penultimate (pooled backbone) activations for up to ``max_tiles`` tiles per
+slide through the jitted trunk, embed them in 2-D, and render a mosaic of
+representative tiles. Label hooks match the reference:
+``label_by_logits``, ``label_by_uncertainty``, ``label_by_slide``.
+
+Embedding backend: umap-learn when importable, otherwise PCA (gated — umap
+is not in this environment; the map semantics are identical).
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .utils_log import log
+
+
+class SlideMap:
+    """2-D embedding of tile features with label/metadata channels."""
+
+    def __init__(self, coords: np.ndarray, meta: List[dict],
+                 tiles: Optional[np.ndarray] = None):
+        self.coords = coords          # (N, 2)
+        self.meta = meta              # per-tile dicts: slide, loc, probs, unc
+        self.tiles = tiles            # optional (N, H, W, 3) uint8
+        self.labels = np.zeros(len(meta), np.float64)
+        self.label_name = "none"
+
+    def label_by_logits(self, index: int = 1):
+        self.labels = np.array([m["probs"][index] for m in self.meta])
+        self.label_name = f"logit{index}"
+        return self
+
+    def label_by_uncertainty(self, index: int = 1):
+        self.labels = np.array([m["uncertainty"][index] for m in self.meta])
+        self.label_name = "uncertainty"
+        return self
+
+    def label_by_slide(self, slide_labels: Optional[Dict[str, int]] = None):
+        if slide_labels is None:
+            uniq = {m["slide"] for m in self.meta}
+            slide_labels = {s: i for i, s in enumerate(sorted(uniq))}
+        self.labels = np.array(
+            [slide_labels.get(m["slide"], -1) for m in self.meta],
+            np.float64,
+        )
+        self.label_name = "slide"
+        return self
+
+    def save(self, path: str, cmap="viridis", s: int = 4):
+        """Scatter plot of the embedding colored by the active label."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 8))
+        sc = ax.scatter(
+            self.coords[:, 0], self.coords[:, 1], c=self.labels,
+            cmap=cmap, s=s,
+        )
+        fig.colorbar(sc, ax=ax)
+        ax.set_title(f"SlideMap ({self.label_name})")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+
+
+def embed_2d(features: np.ndarray, seed: int = 0) -> np.ndarray:
+    """UMAP when available, else PCA (documented fallback)."""
+    try:
+        import umap
+
+        return umap.UMAP(random_state=seed).fit_transform(features)
+    except ImportError:
+        log.info("umap-learn unavailable; using PCA embedding")
+        x = features - features.mean(axis=0, keepdims=True)
+        # Top-2 principal components via SVD.
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        return x @ vt[:2].T
+
+
+def generate_features(
+    model_path: str,
+    tfrecords: List[str],
+    max_tiles: int = 100,
+    cache: Optional[str] = None,
+    batch_size: int = 64,
+    keep_tiles: bool = False,
+    k: int = 8,
+):
+    """Penultimate-activation dump + per-tile UQ predictions.
+
+    Returns (features (N, F), meta list, tiles or None). Features come from
+    the deterministic trunk; probs/uncertainty from the K-pass MC head.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .data.normalize import make_normalizer, per_image_standardization
+    from .data.pipeline import TileBatcher
+    from .train.trainer import load_checkpoint
+    from .train.uq import mc_dropout_head
+
+    if cache and os.path.exists(cache):
+        blob = np.load(cache, allow_pickle=True)
+        return blob["features"], list(blob["meta"]), (
+            blob["tiles"] if "tiles" in blob.files else None
+        )
+
+    model, params, batch_stats, hp, _meta = load_checkpoint(model_path)
+    normalizer = make_normalizer(hp.normalizer)
+
+    @jax.jit
+    def step(p, bs, imgs, key):
+        x = imgs.astype(jnp.float32)
+        if normalizer is not None:
+            x = normalizer(x)
+        x = per_image_standardization(x)
+        feats = model.apply(
+            {"params": p, "batch_stats": bs}, x, train=False,
+            method="features",
+        )
+        mean, std = mc_dropout_head(model, p, bs, feats, key, k=k,
+                                    use_pallas=False)
+        return feats, mean, std
+
+    batcher = TileBatcher(
+        tfrecords, {}, batch_size=batch_size, shuffle=False, infinite=False,
+        max_tiles=max_tiles, tile_px=hp.tile_px,
+    )
+    feats_all, meta, tiles_all = [], [], []
+    key = jax.random.PRNGKey(0)
+    for batch in batcher:
+        key, sub = jax.random.split(key)
+        feats, mean, std = step(params, batch_stats, batch["image"], sub)
+        m = np.asarray(batch["mask"])
+        feats = np.asarray(feats)[m]
+        mean = np.asarray(mean)[m]
+        std = np.asarray(std)[m]
+        feats_all.append(feats)
+        for row, i in enumerate(np.where(m)[0]):
+            meta.append(
+                {
+                    "slide": batch["slide"][i],
+                    "loc": tuple(batch["loc"][i]),
+                    "probs": mean[row],
+                    "uncertainty": std[row],
+                }
+            )
+            if keep_tiles:
+                tiles_all.append(batch["image"][i])
+    batcher.close()
+    features = (
+        np.concatenate(feats_all) if feats_all else np.zeros((0, 1))
+    )
+    tiles = np.stack(tiles_all) if tiles_all else None
+    if cache:
+        np.savez_compressed(
+            cache, features=features, meta=np.asarray(meta, dtype=object),
+            **({"tiles": tiles} if tiles is not None else {}),
+        )
+    return features, meta, tiles
+
+
+def generate_mosaic(
+    features: np.ndarray,
+    meta: List[dict],
+    tiles: np.ndarray,
+    grid: int = 20,
+    seed: int = 0,
+) -> np.ndarray:
+    """Mosaic image: embed features in 2-D, bucket into a grid, render the
+    tile nearest each bucket center (sf mosaic contract, results.py:281)."""
+    coords = embed_2d(features, seed=seed)
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    span = np.maximum(hi - lo, 1e-6)
+    cell = ((coords - lo) / span * (grid - 1e-6)).astype(int)
+
+    th, tw = tiles.shape[1:3]
+    canvas = np.full((grid * th, grid * tw, 3), 255, np.uint8)
+    for gy in range(grid):
+        for gx in range(grid):
+            in_cell = np.where((cell[:, 0] == gx) & (cell[:, 1] == gy))[0]
+            if not len(in_cell):
+                continue
+            # Representative: nearest to the cell center.
+            center = lo + (np.array([gx, gy]) + 0.5) / grid * span
+            d = np.linalg.norm(coords[in_cell] - center, axis=1)
+            pick = in_cell[int(np.argmin(d))]
+            canvas[
+                gy * th:(gy + 1) * th, gx * tw:(gx + 1) * tw
+            ] = tiles[pick]
+    return canvas
+
+
+def slide_map_from_features(features, meta, tiles=None, seed=0) -> SlideMap:
+    return SlideMap(embed_2d(features, seed=seed), meta, tiles)

@@ -1,0 +1,202 @@
+"""Jittable ROC / AUC / Youden threshold search and segment reductions.
+
+BASELINE.json north star: "Port the slide-level uncertainty-index
+aggregation, biscuit/threshold.py tile/slide threshold search, and delong.py
+AUC comparison as jittable ops so nested-UQ cross-validation runs end-to-end
+on a v4/v5e slice."
+
+These are the on-chip counterparts of :mod:`biscuit_tpu.stats.roc` (which
+keeps sklearn-bitwise semantics on host). Design notes for XLA:
+
+* static shapes — thresholds are evaluated at every sample position with
+  duplicate-score positions masked to -inf J, which reproduces sklearn's
+  distinct-threshold collapse for the argmax (the optimal operating point
+  is always a run boundary);
+* AUC via the rank statistic (Mann-Whitney) with midranks for ties — exactly
+  the trapezoid ROC AUC, in one sort;
+* group (slide/patient) means via segment sums keyed on integer slide ids
+  with a static ``num_segments`` — the map-reduce the reference does in
+  pandas (threshold.py:189-204), but fused into the inference program so
+  tile->slide aggregation happens before leaving the chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "auc_jax",
+    "youden_threshold_jax",
+    "uncertainty_threshold_jax",
+    "segment_mean",
+    "group_reduce",
+    "apply_thresholds_jax",
+]
+
+
+def _midranks(x: jnp.ndarray) -> jnp.ndarray:
+    """Midranks (average 1-based rank over ties) of a 1-D array."""
+    n = x.shape[0]
+    order = jnp.argsort(x, stable=True)
+    z = x[order]
+    # For each position, rank range of its tie-run: first and last index.
+    idx = jnp.arange(n)
+    is_start = jnp.concatenate([jnp.array([True]), z[1:] != z[:-1]])
+    is_end = jnp.concatenate([z[1:] != z[:-1], jnp.array([True])])
+    start_idx = jnp.maximum.accumulate(jnp.where(is_start, idx, -1))
+    # last index of each run, scanned from the right
+    end_idx = jnp.flip(
+        jnp.minimum.accumulate(jnp.flip(jnp.where(is_end, idx, n)))
+    )
+    mid = 0.5 * (start_idx + end_idx) + 1.0
+    out = jnp.zeros(n, x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
+                    else jnp.float32)
+    return out.at[order].set(mid)
+
+
+@jax.jit
+def auc_jax(y_true: jnp.ndarray, y_score: jnp.ndarray,
+            mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """AUROC via the rank statistic (ties get midranks). Optional mask for
+    padded rows. NaN when a class is absent (matching host semantics)."""
+    y_true = y_true.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(y_true)
+    mask = mask.astype(jnp.float32)
+    # Push masked rows to -inf so they rank lowest, then subtract their
+    # contribution: simpler — give masked rows score -inf and y_true 0,
+    # then correct m/n counts.
+    score = jnp.where(mask > 0, y_score, -jnp.inf)
+    ranks = _midranks(score)
+    m = jnp.sum(y_true * mask)          # positives
+    n = jnp.sum((1.0 - y_true) * mask)  # negatives
+    # Masked rows occupy the lowest ranks; positive ranks are unaffected
+    # in relative terms after subtracting the offset of masked count? No:
+    # midranks of valid rows shift by the number of masked rows ranked
+    # below them (all of them). Sum over positives:
+    pad = jnp.sum(1.0 - mask)
+    sum_pos_ranks = jnp.sum(ranks * y_true * mask) - pad * m
+    auc = (sum_pos_ranks - m * (m + 1.0) / 2.0) / (m * n)
+    return jnp.where((m > 0) & (n > 0), auc, jnp.nan)
+
+
+def _cum_curve(y_true, y_score, mask):
+    """Shared prefix: descending-sorted cumulative tps/fps with duplicate
+    and padded positions flagged. Returns (tps, fps, sorted_scores, valid)."""
+    y_true = y_true.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    score = jnp.where(mask > 0, y_score, -jnp.inf)
+    order = jnp.argsort(-score, stable=True)
+    s = score[order]
+    t = (y_true * mask)[order]
+    v = mask[order]
+    tps = jnp.cumsum(t)
+    fps = jnp.cumsum(v) - tps
+    # A position is a valid threshold only if it's the LAST of its score run
+    # and not padding.
+    n = s.shape[0]
+    is_last = jnp.concatenate([s[:-1] != s[1:], jnp.array([True])])
+    valid = is_last & (v > 0)
+    return tps, fps, s, valid
+
+
+@jax.jit
+def youden_threshold_jax(y_true, y_score, mask=None):
+    """Optimal threshold via Youden's J with sklearn's distinct-threshold
+    semantics and first-occurrence tie-breaking. Returns (threshold, auc_j)
+    where auc_j is J at the optimum."""
+    if mask is None:
+        mask = jnp.ones(y_score.shape, jnp.float32)
+    tps, fps, s, valid = _cum_curve(y_true, y_score, mask)
+    m = tps[-1]
+    n = fps[-1]
+    tpr = tps / jnp.maximum(m, 1.0)
+    fpr = fps / jnp.maximum(n, 1.0)
+    j = jnp.where(valid, tpr - fpr, -jnp.inf)
+    best = jnp.argmax(j)
+    return s[best], j[best]
+
+
+@jax.jit
+def uncertainty_threshold_jax(incorrect, uncertainty, mask=None):
+    """The reference's UQ threshold detection (threshold.py:417-426):
+    Youden-J point of ROC(incorrect, uncertainty)."""
+    return youden_threshold_jax(incorrect, uncertainty, mask)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_mean(values, segment_ids, num_segments: int, mask=None):
+    """Per-segment means with optional row mask; empty segments -> NaN."""
+    if mask is None:
+        mask = jnp.ones(values.shape[0], jnp.float32)
+    mask = mask.astype(values.dtype)
+    sums = jax.ops.segment_sum(values * mask, segment_ids, num_segments)
+    counts = jax.ops.segment_sum(mask, segment_ids, num_segments)
+    return sums / jnp.maximum(counts, 1.0), counts
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def group_reduce(y_true, y_pred, uncertainty, segment_ids,
+                 num_segments: int, mask=None):
+    """Tile -> group aggregation (threshold.py:189-204 on-chip): group-mean
+    y_pred / y_true / uncertainty. Returns dict of (num_segments,) arrays
+    plus per-group tile counts."""
+    if mask is None:
+        mask = jnp.ones(y_pred.shape[0], jnp.float32)
+    yp, counts = segment_mean(y_pred, segment_ids, num_segments, mask)
+    yt, _ = segment_mean(y_true.astype(jnp.float32), segment_ids,
+                         num_segments, mask)
+    u, _ = segment_mean(uncertainty, segment_ids, num_segments, mask)
+    return {
+        # uint8 cast parity with the reference (threshold.py:197-200).
+        # The +1e-6 guards against TPU's reciprocal-multiply division:
+        # under jit, sum/count for a pure group can land at 0.99999994 and
+        # a bare floor would corrupt the group label.
+        "y_true": jnp.floor(yt + 1e-6).astype(jnp.int32),
+        "y_pred": yp,
+        "uncertainty": u,
+        "count": counts,
+    }
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def apply_thresholds_jax(
+    y_true, y_pred, uncertainty, segment_ids, num_segments: int,
+    tile_uq, slide_uq, tile_pred, slide_pred, mask=None,
+):
+    """On-chip threshold.apply (threshold.py:248-361): tile-UQ filter ->
+    group means -> slide-UQ filter (high-confidence keep) -> AUC/acc/sens/
+    spec/percent_incl. Fully fused: one program per evaluation."""
+    if mask is None:
+        mask = jnp.ones(y_pred.shape[0], jnp.float32)
+    mask = mask.astype(jnp.float32)
+    pre_groups_present = (
+        jax.ops.segment_sum(mask, segment_ids, num_segments) > 0
+    )
+    keep_tiles = mask * (uncertainty < tile_uq)
+    g = group_reduce(y_true, y_pred, uncertainty, segment_ids, num_segments,
+                     keep_tiles)
+    has_tiles = g["count"] > 0
+    keep_groups = has_tiles & (g["uncertainty"] < slide_uq)
+    gmask = keep_groups.astype(jnp.float32)
+
+    auc = auc_jax(g["y_true"].astype(jnp.float32), g["y_pred"], gmask)
+    yt = g["y_true"] > 0
+    yp = g["y_pred"] > slide_pred
+    tp = jnp.sum(gmask * (yt & yp))
+    fp = jnp.sum(gmask * (~yt & yp))
+    tn = jnp.sum(gmask * (~yt & ~yp))
+    fn = jnp.sum(gmask * (yt & ~yp))
+    total = jnp.maximum(tp + tn + fp + fn, 1.0)
+    return {
+        "auc": auc,
+        "percent_incl": jnp.sum(gmask) / jnp.maximum(
+            jnp.sum(pre_groups_present.astype(jnp.float32)), 1.0
+        ),
+        "acc": (tp + tn) / total,
+        "sensitivity": tp / jnp.maximum(tp + fn, 1.0),
+        "specificity": tn / jnp.maximum(tn + fp, 1.0),
+    }

@@ -36,33 +36,52 @@ class Project:
         name: Optional[str] = None,
         create: bool = False,
     ):
-        self.root = root
-        settings_path = join(root, "settings.json")
+        # All paths are absolute internally; settings.json stores paths
+        # under root as root-relative so projects stay relocatable.
+        self.root = os.path.abspath(root)
+        settings_path = join(self.root, "settings.json")
         if exists(settings_path) and not create:
             with open(settings_path) as f:
                 s = json.load(f)
-            self.name = s.get("name", os.path.basename(root))
+            self.name = s.get("name", os.path.basename(self.root))
             self._annotations = self._resolve(s.get("annotations"))
             self.sources = s.get("sources", [])
             self.models_dir = self._resolve(s.get("models_dir", "models"))
             self.eval_dir = self._resolve(s.get("eval_dir", "eval"))
         else:
-            os.makedirs(root, exist_ok=True)
-            self.name = name or os.path.basename(root)
-            self._annotations = annotations
+            if not create and annotations is None and name is None:
+                raise FileNotFoundError(
+                    f"No project found at {self.root} (missing "
+                    "settings.json); pass create=True to make one."
+                )
+            os.makedirs(self.root, exist_ok=True)
+            self.name = name or os.path.basename(self.root)
+            self._annotations = (
+                os.path.abspath(annotations) if annotations else None
+            )
             self.sources = sources or []
-            self.models_dir = join(root, "models")
-            self.eval_dir = join(root, "eval")
+            self.models_dir = join(self.root, "models")
+            self.eval_dir = join(self.root, "eval")
             self.save()
         os.makedirs(self.models_dir, exist_ok=True)
         os.makedirs(self.eval_dir, exist_ok=True)
 
     def _resolve(self, path: Optional[str]) -> Optional[str]:
+        """Resolve a settings.json path: relative means root-relative."""
         if path is None:
             return None
         if os.path.isabs(path):
             return path
         return join(self.root, path)
+
+    def _relativize(self, path: Optional[str]) -> Optional[str]:
+        """Store paths under root as root-relative (relocatable projects)."""
+        if path is None:
+            return None
+        path = os.path.abspath(path)
+        if path.startswith(self.root + os.sep):
+            return os.path.relpath(path, self.root)
+        return path
 
     # --- settings -------------------------------------------------------------
 
@@ -72,7 +91,7 @@ class Project:
 
     @annotations.setter
     def annotations(self, path: str) -> None:
-        self._annotations = path
+        self._annotations = os.path.abspath(path)
         self.save()
 
     def save(self) -> None:
@@ -80,10 +99,10 @@ class Project:
             json.dump(
                 {
                     "name": self.name,
-                    "annotations": self._annotations,
+                    "annotations": self._relativize(self._annotations),
                     "sources": self.sources,
-                    "models_dir": self.models_dir,
-                    "eval_dir": self.eval_dir,
+                    "models_dir": self._relativize(self.models_dir),
+                    "eval_dir": self._relativize(self.eval_dir),
                 },
                 f,
                 indent=2,
@@ -109,7 +128,10 @@ class Project:
             with open(path) as f:
                 config = json.load(f)
         config[name] = {
-            "slides": slides, "roi": roi, "tiles": tiles, "tfrecords": tfrecords,
+            "slides": self._relativize(slides) if slides else "",
+            "roi": self._relativize(roi) if roi else "",
+            "tiles": self._relativize(tiles) if tiles else "",
+            "tfrecords": self._relativize(tfrecords) if tfrecords else "",
         }
         with open(path, "w") as f:
             json.dump(config, f, indent=2)
@@ -119,7 +141,10 @@ class Project:
 
     def source_config(self, name: str) -> Dict:
         with open(self._datasets_path()) as f:
-            return json.load(f)[name]
+            cfg = json.load(f)[name]
+        return {
+            k: (self._resolve(v) if v else "") for k, v in cfg.items()
+        }
 
     # --- dataset ---------------------------------------------------------------
 

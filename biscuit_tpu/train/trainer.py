@@ -168,7 +168,7 @@ def predict_tiles(
 
     batcher = TileBatcher(
         tfrecords, labels, batch_size=batch_size, shuffle=False,
-        infinite=False, max_tiles=max_tiles,
+        infinite=False, max_tiles=max_tiles, tile_px=hp.tile_px,
     )
     key = jax.random.PRNGKey(42)
     rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
@@ -430,7 +430,7 @@ def _train_single(
     train_batcher = TileBatcher(
         train_tfr, labels, batch_size=hp.batch_size, shuffle=True,
         infinite=True, seed=seed, jpeg_aug=("j" in (hp.augment or "")),
-        max_tiles=max_tiles,
+        max_tiles=max_tiles, tile_px=hp.tile_px,
     )
     n_tiles = len(train_batcher)
     steps_per_epoch = max(1, n_tiles // hp.batch_size)
@@ -444,6 +444,7 @@ def _train_single(
         val_batcher = TileBatcher(
             val_tfr, labels, batch_size=hp.batch_size, shuffle=True,
             infinite=True, seed=seed + 1, max_tiles=max_tiles,
+            tile_px=hp.tile_px,
         )
         val_iter = iter(val_batcher)
 

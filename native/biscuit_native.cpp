@@ -1,0 +1,475 @@
+// biscuit_native: native data-plane kernels for the TPU framework.
+//
+// The reference stack's equivalent lives in TensorFlow's C++ kernels and
+// slideflow's libvips readers (SURVEY.md §2.1 "native components"); this
+// library provides the host-side hot path the TPU feeds from:
+//   * CRC32C (tfrecord framing checksums) - SSE4.2 hardware instruction
+//     when available, slicing-by-8 table otherwise.
+//   * PNG/JPEG tile decode via libpng/libjpeg.
+//   * TFRecord scanning/indexing.
+//   * A threaded batch pipeline: record framing -> tf.train.Example proto
+//     walk (image_raw/slide/loc fields) -> image decode, straight into a
+//     caller-provided uint8 NHWC buffer with the GIL released (exposed via
+//     ctypes, biscuit_tpu/data/native_loader.py).
+//
+// C ABI throughout; no Python headers required.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+#include <png.h>
+#include <jpeglib.h>
+#include <csetjmp>
+
+// ---------------------------------------------------------------------------
+// CRC32C
+// ---------------------------------------------------------------------------
+
+static uint32_t crc_table[8][256];
+static bool crc_init_done = false;
+
+static void crc32c_init() {
+  const uint32_t poly = 0x82F63B78u;
+  for (int i = 0; i < 256; ++i) {
+    uint32_t crc = i;
+    for (int j = 0; j < 8; ++j)
+      crc = (crc >> 1) ^ ((crc & 1) ? poly : 0);
+    crc_table[0][i] = crc;
+  }
+  for (int i = 0; i < 256; ++i)
+    for (int t = 1; t < 8; ++t)
+      crc_table[t][i] =
+          (crc_table[t - 1][i] >> 8) ^ crc_table[0][crc_table[t - 1][i] & 0xFF];
+  crc_init_done = true;
+}
+
+#if defined(__x86_64__)
+#include <nmmintrin.h>
+static bool has_sse42() {
+  return __builtin_cpu_supports("sse4.2");
+}
+static uint32_t crc32c_hw(uint32_t crc, const uint8_t* data, size_t n) {
+  while (n >= 8) {
+    crc = (uint32_t)_mm_crc32_u64(crc, *(const uint64_t*)data);
+    data += 8;
+    n -= 8;
+  }
+  while (n--) crc = _mm_crc32_u8(crc, *data++);
+  return crc;
+}
+#endif
+
+static uint32_t crc32c_sw(uint32_t crc, const uint8_t* data, size_t n) {
+  if (!crc_init_done) crc32c_init();
+  while (n >= 8) {
+    uint64_t v;
+    memcpy(&v, data, 8);
+    v ^= crc;
+    crc = crc_table[7][v & 0xFF] ^ crc_table[6][(v >> 8) & 0xFF] ^
+          crc_table[5][(v >> 16) & 0xFF] ^ crc_table[4][(v >> 24) & 0xFF] ^
+          crc_table[3][(v >> 32) & 0xFF] ^ crc_table[2][(v >> 40) & 0xFF] ^
+          crc_table[1][(v >> 48) & 0xFF] ^ crc_table[0][(v >> 56) & 0xFF];
+    data += 8;
+    n -= 8;
+  }
+  while (n--) crc = crc_table[0][(crc ^ *data++) & 0xFF] ^ (crc >> 8);
+  return crc;
+}
+
+extern "C" uint32_t bn_crc32c(const uint8_t* data, size_t n) {
+  uint32_t crc = 0xFFFFFFFFu;
+#if defined(__x86_64__)
+  if (has_sse42()) return crc32c_hw(crc, data, n) ^ 0xFFFFFFFFu;
+#endif
+  return crc32c_sw(crc, data, n) ^ 0xFFFFFFFFu;
+}
+
+static uint32_t masked_crc(const uint8_t* data, size_t n) {
+  uint32_t crc = bn_crc32c(data, n);
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decode (libpng, memory source)
+// ---------------------------------------------------------------------------
+
+struct MemReader {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+static void png_mem_read(png_structp png, png_bytep out, png_size_t count) {
+  MemReader* r = (MemReader*)png_get_io_ptr(png);
+  if (r->pos + count > r->size) png_error(png, "png: read past end");
+  memcpy(out, r->data + r->pos, count);
+  r->pos += count;
+}
+
+// Decode PNG to RGB8. Returns 0 on success. out must hold w*h*3.
+static int decode_png(const uint8_t* buf, size_t n, uint8_t* out,
+                      size_t out_cap, int* out_w, int* out_h) {
+  if (n < 8 || png_sig_cmp(buf, 0, 8)) return -1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  MemReader reader{buf, n, 0};
+  png_set_read_fn(png, &reader, png_mem_read);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color = png_get_color_type(png, info);
+
+  // Normalize everything to 8-bit RGB.
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  if ((size_t)w * h * 3 > out_cap) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -4;
+  }
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 y = 0; y < h; ++y) rows[y] = out + (size_t)y * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out_w = (int)w;
+  *out_h = (int)h;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg, memory source)
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = (JpegErr*)cinfo->err;
+  longjmp(e->jb, 1);
+}
+
+static int decode_jpeg(const uint8_t* buf, size_t n, uint8_t* out,
+                       size_t out_cap, int* out_w, int* out_h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, (unsigned long)n);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  int w = cinfo.output_width, h = cinfo.output_height;
+  if ((size_t)w * h * 3 > out_cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return -4;
+  }
+  while ((int)cinfo.output_scanline < h) {
+    uint8_t* row = out + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_w = w;
+  *out_h = h;
+  return 0;
+}
+
+extern "C" int bn_decode_image(const uint8_t* buf, size_t n, uint8_t* out,
+                               size_t out_cap, int* w, int* h) {
+  if (n >= 8 && !png_sig_cmp(buf, 0, 8))
+    return decode_png(buf, n, out, out_cap, w, h);
+  if (n >= 2 && buf[0] == 0xFF && buf[1] == 0xD8)
+    return decode_jpeg(buf, n, out, out_cap, w, h);
+  return -10;  // unknown format
+}
+
+// ---------------------------------------------------------------------------
+// TFRecord scanning
+// ---------------------------------------------------------------------------
+
+// Index record offsets. Returns count, or -1 on I/O error, -2 if cap too
+// small (call again with a larger buffer).
+extern "C" long bn_index_tfrecord(const char* path, int64_t* offsets,
+                                  long cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  long count = 0;
+  int64_t pos = 0;
+  uint8_t header[12];
+  while (fread(header, 1, 12, f) == 12) {
+    uint64_t len;
+    memcpy(&len, header, 8);
+    if (count < cap) offsets[count] = pos;
+    ++count;
+    if (fseek(f, (long)(len + 4), SEEK_CUR) != 0) break;
+    pos += 8 + 4 + (int64_t)len + 4;
+  }
+  fclose(f);
+  if (count > cap) return -2;
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// Minimal tf.train.Example walker: extract image_raw / slide / loc fields.
+// ---------------------------------------------------------------------------
+
+struct ProtoField {
+  const uint8_t* data;
+  size_t len;      // for length-delimited
+  uint64_t varint; // for varint fields
+};
+
+static bool read_varint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (p < end && shift < 64) {
+    uint8_t b = *p++;
+    result |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+// Walk a message, invoking fn(field_num, wire_type, field) per field.
+template <typename Fn>
+static bool walk(const uint8_t* p, const uint8_t* end, Fn fn) {
+  while (p < end) {
+    uint64_t tag;
+    if (!read_varint(p, end, &tag)) return false;
+    int field = (int)(tag >> 3);
+    int wt = (int)(tag & 7);
+    ProtoField pf{nullptr, 0, 0};
+    if (wt == 0) {
+      if (!read_varint(p, end, &pf.varint)) return false;
+    } else if (wt == 2) {
+      uint64_t len;
+      if (!read_varint(p, end, &len)) return false;
+      if (p + len > end) return false;
+      pf.data = p;
+      pf.len = (size_t)len;
+      p += len;
+    } else if (wt == 1) {
+      if (p + 8 > end) return false;
+      p += 8;
+    } else if (wt == 5) {
+      if (p + 4 > end) return false;
+      p += 4;
+    } else {
+      return false;
+    }
+    fn(field, wt, pf);
+  }
+  return true;
+}
+
+struct TileFields {
+  const uint8_t* image = nullptr;
+  size_t image_len = 0;
+  const uint8_t* slide = nullptr;
+  size_t slide_len = 0;
+  int64_t loc_x = 0, loc_y = 0, label = -1;
+};
+
+static void parse_example(const uint8_t* buf, size_t n, TileFields* out) {
+  // Example { 1: Features { 1: map entry { 1: key, 2: Feature } } }
+  walk(buf, buf + n, [&](int f1, int, ProtoField ex) {
+    if (f1 != 1 || !ex.data) return;
+    walk(ex.data, ex.data + ex.len, [&](int f2, int, ProtoField entry) {
+      if (f2 != 1 || !entry.data) return;
+      std::string key;
+      const uint8_t* feat = nullptr;
+      size_t feat_len = 0;
+      walk(entry.data, entry.data + entry.len,
+           [&](int f3, int, ProtoField kv) {
+             if (f3 == 1 && kv.data)
+               key.assign((const char*)kv.data, kv.len);
+             else if (f3 == 2 && kv.data) {
+               feat = kv.data;
+               feat_len = kv.len;
+             }
+           });
+      if (!feat) return;
+      // Feature { 1: BytesList { 1: bytes }, 3: Int64List { 1: packed } }
+      walk(feat, feat + feat_len, [&](int f4, int, ProtoField list) {
+        if (!list.data) return;
+        if (f4 == 1) {  // bytes_list
+          walk(list.data, list.data + list.len,
+               [&](int f5, int, ProtoField val) {
+                 if (f5 != 1 || !val.data) return;
+                 if (key == "image_raw") {
+                   out->image = val.data;
+                   out->image_len = val.len;
+                 } else if (key == "slide") {
+                   out->slide = val.data;
+                   out->slide_len = val.len;
+                 }
+               });
+        } else if (f4 == 3) {  // int64_list (packed)
+          walk(list.data, list.data + list.len,
+               [&](int f5, int wt5, ProtoField val) {
+                 if (f5 != 1) return;
+                 int64_t v = 0;
+                 if (wt5 == 2 && val.data) {
+                   const uint8_t* p = val.data;
+                   uint64_t x;
+                   if (read_varint(p, val.data + val.len, &x)) v = (int64_t)x;
+                 } else if (wt5 == 0) {
+                   v = (int64_t)val.varint;
+                 }
+                 if (key == "loc_x") out->loc_x = v;
+                 else if (key == "loc_y") out->loc_y = v;
+                 else if (key == "label") out->label = v;
+               });
+        }
+      });
+    });
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch read+decode
+// ---------------------------------------------------------------------------
+
+// Read `count` records of one tfrecord file at `offsets`, parse Examples,
+// decode tiles into out (count, tile_px, tile_px, 3) uint8. Slides are
+// written into slide_buf as fixed-width (slide_width) zero-padded strings.
+// Returns number of successfully decoded tiles; tiles that fail decode or
+// have mismatched size are zero-filled and their loc_x set to -1.
+extern "C" long bn_read_decode_batch(
+    const char* path, const int64_t* offsets, long count, int tile_px,
+    uint8_t* out, char* slide_buf, int slide_width, int64_t* loc_out,
+    int64_t* label_out, int verify_crc, int n_threads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  // Read all requested records into memory (sequential I/O, one pass).
+  std::vector<std::vector<uint8_t>> payloads((size_t)count);
+  for (long i = 0; i < count; ++i) {
+    if (fseek(f, (long)offsets[i], SEEK_SET) != 0) {
+      fclose(f);
+      return -1;
+    }
+    uint8_t header[12];
+    if (fread(header, 1, 12, f) != 12) {
+      fclose(f);
+      return -1;
+    }
+    uint64_t len;
+    memcpy(&len, header, 8);
+    payloads[i].resize(len);
+    if (fread(payloads[i].data(), 1, len, f) != len) {
+      fclose(f);
+      return -1;
+    }
+    if (verify_crc) {
+      uint8_t crc_buf[4];
+      if (fread(crc_buf, 1, 4, f) != 4) {
+        fclose(f);
+        return -1;
+      }
+      uint32_t expect;
+      memcpy(&expect, crc_buf, 4);
+      if (masked_crc(payloads[i].data(), len) != expect) {
+        fclose(f);
+        return -3;
+      }
+    }
+  }
+  fclose(f);
+
+  const size_t tile_bytes = (size_t)tile_px * tile_px * 3;
+  std::atomic<long> next(0), ok(0);
+  int hw = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+  if (n_threads > count) n_threads = (int)count;
+  if (n_threads < 1) n_threads = 1;
+
+  auto worker = [&]() {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= count) return;
+      TileFields tf;
+      parse_example(payloads[i].data(), payloads[i].size(), &tf);
+      uint8_t* dst = out + (size_t)i * tile_bytes;
+      bool good = false;
+      if (tf.image) {
+        int w = 0, h = 0;
+        if (bn_decode_image(tf.image, tf.image_len, dst, tile_bytes, &w,
+                            &h) == 0 &&
+            w == tile_px && h == tile_px)
+          good = true;
+      }
+      if (slide_buf) {
+        char* s = slide_buf + (size_t)i * slide_width;
+        memset(s, 0, slide_width);
+        if (tf.slide) {
+          size_t c = tf.slide_len < (size_t)slide_width - 1
+                         ? tf.slide_len
+                         : (size_t)slide_width - 1;
+          memcpy(s, tf.slide, c);
+        }
+      }
+      if (loc_out) {
+        loc_out[2 * i] = good ? tf.loc_x : -1;
+        loc_out[2 * i + 1] = tf.loc_y;
+      }
+      if (label_out) label_out[i] = tf.label;
+      if (!good) {
+        memset(dst, 0, tile_bytes);
+        if (loc_out) loc_out[2 * i] = -1;
+      } else {
+        ok.fetch_add(1);
+      }
+    }
+  };
+
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return ok.load();
+}
+
+extern "C" const char* bn_version() { return "biscuit_native 0.1.0"; }

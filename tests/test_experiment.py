@@ -1,0 +1,276 @@
+"""End-to-end tests of the Experiment orchestration layer: the 6-step
+protocol with idempotent resume, nested-CV threshold derivation, results
+assembly, and figures — on a synthetic project (SURVEY.md §3.1-3.2 call
+stacks)."""
+
+import io
+import os
+from os.path import exists, join
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from biscuit_tpu import utils
+from biscuit_tpu.experiment import ALL_EXP, Experiment
+from biscuit_tpu.hp import ModelParams
+
+
+def tiny_hp(**kw):
+    base = dict(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=16,
+        epochs=[1], early_stop=False, dropout=0.1, uq=False,
+        hidden_layer_width=32, hidden_layers=2, learning_rate=3e-3,
+        normalizer=None, augment="xy", uq_samples=4,
+    )
+    base.update(kw)
+    return ModelParams(**base)
+
+
+def write_tiles(tfr_dir, slide, label, hard, rng, n=6):
+    from PIL import Image
+
+    from biscuit_tpu.data.tfrecord import TFRecordWriter
+
+    with TFRecordWriter(str(tfr_dir / f"{slide}.tfrecords")) as w:
+        for t in range(n):
+            img = rng.integers(40, 120, (32, 32, 3)).astype(np.uint8)
+            # hard slides: most tiles carry no class signal
+            if rng.random() > (0.8 if hard else 0.05):
+                pass  # neutral tile
+            else:
+                ch = 0 if label == 0 else 2
+                img[..., ch] = np.clip(img[..., ch] + 100, 0, 255)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            w.write_tile(slide, buf.getvalue(), loc_x=t, loc_y=0)
+
+
+def build_project(tmp, name, n_slides, seed):
+    from biscuit_tpu.project import Project
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    tfr = tmp / f"{name}_tfr"
+    tfr.mkdir()
+    for i in range(n_slides):
+        label = i % 2
+        slide = f"{name}sl{i}"
+        hard = (i % 5) == 0  # 20% hard slides -> slide-level errors
+        rows.append(
+            dict(
+                patient=f"{name}P{i}", slide=slide,
+                cohort="LUAD" if label == 0 else "LUSC",
+                site=f"{i // 2}", order=str(i), order2=str(n_slides - i),
+            )
+        )
+        write_tiles(tfr, slide, label, hard, rng)
+    ann = pd.DataFrame(rows)
+    ann_path = str(tmp / f"{name}_ann.csv")
+    ann.to_csv(ann_path, index=False)
+    P = Project(str(tmp / name), annotations=ann_path, name=name, create=True)
+    P.add_source("SRC", tfrecords=str(tfr))
+    return P
+
+
+@pytest.fixture(scope="module")
+def exp_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("exp")
+    train_P = build_project(tmp, "tr", 24, seed=0)
+    eval_P = build_project(tmp, "ev", 10, seed=1)
+    exp = Experiment(
+        train_P, eval_projects=[eval_P], outcome="cohort",
+        outcome1="LUAD", outcome2="LUSC", outdir=str(tmp / "results"),
+    )
+    exp.train_kwargs = {"seed": 0}
+    return exp
+
+
+class TestConfig:
+    def test_ladder(self):
+        assert ALL_EXP["AA"] == "full"
+        assert ALL_EXP["ZD"] == 10
+
+    def test_config_balanced(self):
+        cfg = Experiment.config("{}", ["ZC", "ZD"], 1)
+        assert cfg["ZC"] == {"out1": 10, "out2": 10}
+        assert cfg["ZD"] == {"out1": 5, "out2": 5}
+
+    def test_config_full(self):
+        cfg = Experiment.config("{}", ["AA"], 1)
+        assert cfg["AA"] == {"out1": 467, "out2": 474}
+
+    def test_config_ratio(self):
+        cfg = Experiment.config("R{}_3", ["D"], 3)
+        # 200 slides at 3:1 -> 150/50 plus the inverse experiment
+        assert cfg["RD_3"] == {"out1": 150, "out2": 50}
+        assert cfg["RD_3i"] == {"out1": 50, "out2": 150}
+
+    def test_config_ratio_with_full_raises(self):
+        with pytest.raises(ValueError):
+            Experiment.config("{}", ["AA"], 3)
+
+    def test_config_gan_kwarg(self):
+        cfg = Experiment.config("{}", ["ZD"], 1, gan=0.1)
+        assert cfg["ZD"]["gan"] == 0.1
+
+
+class TestAdd:
+    def test_include_column(self, tmp_path):
+        ann = pd.DataFrame(
+            dict(
+                patient=[f"P{i}" for i in range(20)],
+                slide=[f"s{i}" for i in range(20)],
+                cohort=["LUAD" if i % 2 == 0 else "LUSC" for i in range(20)],
+                order=[str(i) for i in range(20)],
+            )
+        )
+        path = str(tmp_path / "ann.csv")
+        ann.to_csv(path, index=False)
+        exp = Experiment.__new__(Experiment)
+        exp.outcome, exp.outcome1, exp.outcome2 = "cohort", "LUAD", "LUSC"
+        exp.add(path, label="T", out1=3, out2=2)
+        out = pd.read_csv(path)
+        inc = out[out["include_T"] == "include"]
+        assert len(inc) == 5
+        assert (inc["cohort"] == "LUAD").sum() == 3
+        assert (inc["cohort"] == "LUSC").sum() == 2
+        # forward order: lowest 'order' values selected
+        assert sorted(inc["order"].tolist()) == [0, 1, 2, 3, 4]
+
+    def test_add_reverse_order(self, tmp_path):
+        ann = pd.DataFrame(
+            dict(
+                patient=[f"P{i}" for i in range(10)],
+                slide=[f"s{i}" for i in range(10)],
+                cohort=["LUAD"] * 5 + ["LUSC"] * 5,
+                order=[str(i) for i in range(10)],
+            )
+        )
+        path = str(tmp_path / "ann.csv")
+        ann.to_csv(path, index=False)
+        exp = Experiment.__new__(Experiment)
+        exp.outcome, exp.outcome1, exp.outcome2 = "cohort", "LUAD", "LUSC"
+        exp.add(path, label="R", out1=2, out2=1, order="r")
+        out = pd.read_csv(path)
+        inc = out[out["include_R"] == "include"]
+        assert set(inc["order"]) == {4, 3, 9}  # highest order first
+
+
+class TestSixStepProtocol:
+    @pytest.fixture(scope="class")
+    def ran(self, exp_env):
+        hp = tiny_hp()
+        exp_env.run(
+            {"ZC": {"out1": 10, "out2": 10}}, steps=[2, 3, 5, 6], hp=hp
+        )
+        return exp_env
+
+    def test_step2_cv_models(self, ran):
+        assert utils.model_exists(
+            ran.train_project, "EXP_ZC", outcome="cohort", kfold=1
+        )
+        models = utils.find_cv(ran.train_project, "EXP_ZC", outcome="cohort")
+        assert len(models) == 3
+
+    def test_step3_uq_models_have_uncertainty(self, ran):
+        m = utils.find_cv(
+            ran.train_project, "EXP_ZC_UQ", outcome="cohort"
+        )[0]
+        df = pd.read_csv(join(m, "tile_predictions_val_epoch1.csv"))
+        assert "cohort_uncertainty1" in df.columns
+
+    def test_step5_full_model_saved(self, ran):
+        path = utils.find_model(
+            ran.train_project, "EXP_ZC_FULL", outcome="cohort", epoch=1
+        )
+        assert exists(join(path, "model.msgpack"))
+
+    def test_step6_eval(self, ran):
+        assert utils.eval_exists(
+            ran.eval_projects[0], "EXP_ZC_FULL", outcome="cohort", epoch=1
+        )
+
+    def test_experiments_csv_written(self, ran):
+        exp_ann = join(ran.train_project.root, "experiments.csv")
+        assert exists(exp_ann)
+        assert "include_ZC" in pd.read_csv(exp_ann, nrows=0).columns
+
+    def test_idempotent_rerun(self, ran, capsys):
+        # Re-running must skip everything (no new model dirs).
+        before = sorted(os.listdir(ran.train_project.models_dir))
+        ran.run({"ZC": {"out1": 10, "out2": 10}}, steps=[2, 3, 5], hp=tiny_hp())
+        after = sorted(os.listdir(ran.train_project.models_dir))
+        assert before == after
+        out = capsys.readouterr().out
+        assert "already done" in out
+
+    def test_results_assembly(self, ran):
+        df, eval_dfs = ran.results(["ZC"], uq=True, eval=True)
+        assert len(df) >= 6  # 3 folds non-UQ + 3 folds UQ-all
+        assert set(df["uq"]) >= {"none", "all"}
+        assert exists(join(ran.outdir, "crossval_results.csv"))
+        ev = eval_dfs["ev"]
+        assert len(ev) >= 1
+        assert ev.iloc[0]["uq"] == "none"
+        assert 0 <= ev.iloc[0]["patient_auc"] <= 1
+
+    def test_display_writes_figures(self, ran):
+        df, eval_dfs = ran.results(["ZC"], uq=False, eval=True)
+        # add a fake 'all' arm large enough to survive the n_slides filter
+        ran.display(df, eval_dfs, ttest_uq_groups=None)
+        assert exists(join(ran.outdir, "crossval.svg"))
+
+
+class TestNestedCV:
+    @pytest.fixture(scope="class")
+    def nested(self, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("nested")
+        train_P = build_project(tmp, "ntr", 30, seed=2)
+        exp = Experiment(
+            train_P, outcome="cohort", outdir=str(tmp / "results")
+        )
+        hp = tiny_hp(uq=True)
+        # outer 2-fold CV models first (the nested driver reads their
+        # manifests), then inner 2-fold per outer fold.
+        exp.train(
+            hp=hp, label="EXP_N_UQ", val_k_fold=2, val_k=[1, 2],
+            val_strategy="k-fold", splits="splits_N.json", seed=0,
+        )
+        exp.train_nested_cv(hp=hp, label="EXP_N_UQ", outer_k=2, inner_k=2,
+                            val_strategy="k-fold", seed=0)
+        return exp
+
+    def test_inner_models_exist(self, nested):
+        for outer in (1, 2):
+            for inner in (1, 2):
+                assert utils.model_exists(
+                    nested.train_project, f"EXP_N_UQ-k{outer}",
+                    outcome="cohort", kfold=inner,
+                )
+
+    def test_inner_trained_on_outer_train_slides_only(self, nested):
+        outer_model = utils.find_model(
+            nested.train_project, "EXP_N_UQ", outcome="cohort", kfold=1
+        )
+        outer_train = set(utils.get_slides_from_model_manifest(
+            outer_model, dataset="training"
+        ))
+        inner_model = utils.find_model(
+            nested.train_project, "EXP_N_UQ-k1", outcome="cohort", kfold=1
+        )
+        inner_all = set(utils.get_slides_from_model_manifest(
+            inner_model, dataset=None
+        ))
+        assert inner_all <= outer_train
+
+    def test_thresholds_from_nested_cv(self, nested):
+        df, thresh = nested.thresholds_from_nested_cv(
+            "EXP_N_UQ", outer_k=2, inner_k=2
+        )
+        assert thresh["tile_uq"] is not None
+        assert thresh["slide_uq"] is not None
+        assert thresh["slide_pred"] is not None
+        assert len(df) == 2  # one row per outer fold
+        assert set(df["uq"]) == {"include"}
+        assert ((df["patient_uq_perc"] > 0) & (df["patient_uq_perc"] <= 1)).all()

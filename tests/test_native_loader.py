@@ -1,0 +1,137 @@
+"""Native C++ loader tests: CRC32C parity, decode parity with PIL, tfrecord
+indexing parity, and the threaded batch read+decode pipeline."""
+
+import io
+
+import numpy as np
+import pytest
+
+pytest.importorskip("biscuit_tpu.data.native_loader")
+from biscuit_tpu.data import native_loader as nl
+
+if not nl.available():
+    try:
+        nl.build()
+    except Exception:
+        pytest.skip("native library unavailable and unbuildable",
+                    allow_module_level=True)
+
+
+def _png(img):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class TestNative:
+    def test_crc32c_parity_with_python(self):
+        from biscuit_tpu.data.tfrecord import _crc_table
+
+        assert nl.native_crc32c(b"123456789") == 0xE3069283
+        assert nl.native_crc32c(b"") == 0
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 255, 10000, dtype=np.uint8).tobytes()
+        # parity with the pure-python table implementation
+        table = _crc_table().tolist()
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        assert nl.native_crc32c(data) == (crc ^ 0xFFFFFFFF)
+
+    def test_png_decode_bit_exact(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        dec = nl.native_decode(_png(img))
+        np.testing.assert_array_equal(dec, img)
+
+    def test_jpeg_decode_matches_pil(self):
+        from PIL import Image
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=85)
+        raw = buf.getvalue()
+        dec = nl.native_decode(raw)
+        pil = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        np.testing.assert_array_equal(dec, pil)
+
+    def test_garbage_returns_none(self):
+        assert nl.native_decode(b"not an image at all") is None
+
+    def test_index_parity(self, tmp_path):
+        from biscuit_tpu.data.tfrecord import TFRecordWriter, load_index
+
+        path = str(tmp_path / "t.tfrecords")
+        with TFRecordWriter(path, index=False) as w:
+            for i in range(20):
+                w.write_tile(f"s{i}", bytes(10 + i))
+        native_idx = nl.native_index_tfrecord(path)
+        py_idx = load_index(path)
+        np.testing.assert_array_equal(native_idx, py_idx)
+
+    def test_batch_read_decode(self, tmp_path):
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+
+        rng = np.random.default_rng(3)
+        path = str(tmp_path / "b.tfrecords")
+        tiles = []
+        with TFRecordWriter(path, index=False) as w:
+            for i in range(10):
+                img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                tiles.append(img)
+                w.write_tile(f"slide{i}", _png(img), loc_x=i * 7, loc_y=i)
+        offsets = nl.native_index_tfrecord(path)
+        imgs, slides, locs, labels, ok = nl.native_read_decode_batch(
+            path, offsets, 32, verify_crc=True
+        )
+        assert ok == 10
+        assert slides == [f"slide{i}" for i in range(10)]
+        np.testing.assert_array_equal(locs[:, 0], np.arange(10) * 7)
+        for i in range(10):
+            np.testing.assert_array_equal(imgs[i], tiles[i])
+
+    def test_batch_wrong_tile_size_flagged(self, tmp_path):
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+
+        rng = np.random.default_rng(4)
+        path = str(tmp_path / "w.tfrecords")
+        with TFRecordWriter(path, index=False) as w:
+            w.write_tile("a", _png(rng.integers(0, 255, (32, 32, 3),
+                                                dtype=np.uint8)))
+            w.write_tile("b", _png(rng.integers(0, 255, (16, 16, 3),
+                                                dtype=np.uint8)))
+        offsets = nl.native_index_tfrecord(path)
+        imgs, slides, locs, labels, ok = nl.native_read_decode_batch(
+            path, offsets, 32
+        )
+        assert ok == 1
+        assert locs[1, 0] == -1  # mismatched tile flagged
+
+    def test_pipeline_native_vs_python_paths(self, tmp_path):
+        from biscuit_tpu.data.pipeline import TileBatcher
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+
+        rng = np.random.default_rng(5)
+        paths = []
+        for s in range(3):
+            p = str(tmp_path / f"sl{s}.tfrecords")
+            with TFRecordWriter(p) as w:
+                for t in range(7):
+                    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                    w.write_tile(f"sl{s}", _png(img), loc_x=t, loc_y=s)
+            paths.append(p)
+        labels = {f"sl{s}": s % 2 for s in range(3)}
+        kw = dict(labels=labels, batch_size=8, shuffle=False, infinite=False,
+                  tile_px=32)
+        native_batches = list(TileBatcher(paths, use_native=True, **kw))
+        python_batches = list(TileBatcher(paths, use_native=False, **kw))
+        assert len(native_batches) == len(python_batches) == 3
+        for nb, pb in zip(native_batches, python_batches):
+            np.testing.assert_array_equal(nb["image"], pb["image"])
+            assert nb["slide"] == pb["slide"]
+            np.testing.assert_array_equal(nb["label"], pb["label"])
+            np.testing.assert_array_equal(nb["loc"], pb["loc"])
+            np.testing.assert_array_equal(nb["mask"], pb["mask"])

@@ -1,0 +1,235 @@
+"""WSI reading/QC/extraction, heatmap grid inference, and feature/mosaic
+maps on synthetic slides (capability rows E3, E7, E8, E9 of SURVEY.md
+§2.3)."""
+
+import io
+import os
+from os.path import join
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def make_slide_image(path, size=256, tissue_blobs=6, seed=0):
+    """White background with dark pink 'tissue' blobs."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img = np.full((size, size, 3), 245, np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for _ in range(tissue_blobs):
+        cy, cx = rng.integers(40, size - 40, 2)
+        r = rng.integers(25, 50)
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        img[m] = [170, 90, 140]
+        img[m] = np.clip(
+            img[m] + rng.normal(0, 25, img[m].shape), 0, 255
+        ).astype(np.uint8)
+    Image.fromarray(img).save(path)
+    return img
+
+
+class TestWSI:
+    def test_grid_and_extraction(self, tmp_path):
+        from biscuit_tpu.data.slide import WSI
+
+        p = str(tmp_path / "slide1.png")
+        make_slide_image(p)
+        wsi = WSI(p, tile_px=32, tile_um=32, mpp=1.0)
+        assert wsi.extract_px == 32
+        assert wsi.grid_x == 8 and wsi.grid_y == 8
+        tiles = list(wsi.build_generator()())
+        assert len(tiles) == 64
+        assert tiles[0]["image"].shape == (32, 32, 3)
+
+    def test_qc_drops_background(self, tmp_path):
+        from biscuit_tpu.data.slide import WSI
+
+        p = str(tmp_path / "slide2.png")
+        make_slide_image(p)
+        wsi = WSI(p, tile_px=32, tile_um=32, mpp=1.0, qc="both")
+        kept = list(wsi.build_generator()())
+        assert 0 < len(kept) < 64  # background tiles dropped
+        # kept tiles contain tissue (darker content)
+        for t in kept:
+            assert t["image"].mean() < 240
+
+    def test_tile_um_resize(self, tmp_path):
+        from biscuit_tpu.data.slide import WSI
+
+        p = str(tmp_path / "slide3.png")
+        make_slide_image(p)
+        # 64um tiles at 1 mpp -> 64px regions resized to 32px
+        wsi = WSI(p, tile_px=32, tile_um=64, mpp=1.0)
+        assert wsi.extract_px == 64
+        t = next(wsi.build_generator()())
+        assert t["image"].shape == (32, 32, 3)
+
+    def test_extract_to_tfrecord(self, tmp_path):
+        from biscuit_tpu.data.slide import WSI
+        from biscuit_tpu.data.tfrecord import count_records
+
+        p = str(tmp_path / "slide4.png")
+        make_slide_image(p)
+        wsi = WSI(p, tile_px=32, tile_um=32, mpp=1.0, qc="otsu")
+        out = str(tmp_path / "slide4.tfrecords")
+        n = wsi.extract_tiles(out)
+        assert n > 0
+        assert count_records(out) == n
+
+    def test_extract_tiles_for_project(self, tmp_path):
+        from biscuit_tpu.project import Project
+
+        slides_dir = tmp_path / "slides"
+        slides_dir.mkdir()
+        for i in range(3):
+            make_slide_image(str(slides_dir / f"ws{i}.png"), seed=i)
+        ann = pd.DataFrame(
+            dict(patient=[f"P{i}" for i in range(3)],
+                 slide=[f"ws{i}" for i in range(3)],
+                 cohort=["LUAD", "LUSC", "LUAD"])
+        )
+        ann_path = str(tmp_path / "ann.csv")
+        ann.to_csv(ann_path, index=False)
+        P = Project(str(tmp_path / "proj"), annotations=ann_path,
+                    name="wsi", create=True)
+        P.add_source(
+            "S", slides=str(slides_dir),
+            tfrecords=str(tmp_path / "proj" / "tfrecords"),
+        )
+        report = P.extract_tiles(tile_px=32, tile_um=32, qc="otsu", mpp=1.0)
+        assert len(report) == 3
+        ds = P.dataset(tile_px=32, tile_um=32)
+        assert len(ds.tfrecords()) == 3
+        # Idempotent: re-extraction skips existing tfrecords.
+        report2 = P.extract_tiles(tile_px=32, tile_um=32, qc="otsu", mpp=1.0)
+        assert len(report2) == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_saved_model(tmp_path_factory):
+    """A trained+saved tiny model for heatmap/mosaic tests."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_model_trainer import make_tile, tiny_hp
+
+    from biscuit_tpu import utils
+    from biscuit_tpu.data.tfrecord import TFRecordWriter
+    from biscuit_tpu.project import Project
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("hm")
+    rng = np.random.default_rng(0)
+    tfr = tmp / "tfr"
+    tfr.mkdir()
+    rows = []
+    for i in range(8):
+        rows.append(dict(patient=f"P{i}", slide=f"s{i}",
+                         cohort="LUAD" if i % 2 == 0 else "LUSC"))
+        with TFRecordWriter(str(tfr / f"s{i}.tfrecords")) as w:
+            for t in range(8):
+                buf = io.BytesIO()
+                Image.fromarray(make_tile(i % 2, rng)).save(buf, format="PNG")
+                w.write_tile(f"s{i}", buf.getvalue(), loc_x=t, loc_y=0)
+    ann_path = str(tmp / "ann.csv")
+    pd.DataFrame(rows).to_csv(ann_path, index=False)
+    P = Project(str(tmp / "proj"), annotations=ann_path, name="hm",
+                create=True)
+    P.add_source("S", tfrecords=str(tfr))
+    P.train("cohort", exp_label="HM", params=tiny_hp(uq=True),
+            val_strategy="none", save_model=True)
+    model_path = utils.find_model(P, "HM", outcome="cohort", epoch=1)
+    return P, model_path, tmp
+
+
+class TestHeatmap:
+    def test_heatmap_grid(self, tiny_saved_model, tmp_path):
+        from biscuit_tpu.heatmap import Heatmap
+
+        P, model_path, tmp = tiny_saved_model
+        slide_path = str(tmp_path / "hs.png")
+        make_slide_image(slide_path, size=128)
+        hm = Heatmap(slide_path, model_path, batch_size=16)
+        assert hm.logits.shape == (4, 4, 2)
+        assert hm.uncertainty.shape == (4, 4, 1)
+        computed = hm.logits[:, :, 1] != -99.0
+        assert computed.all()  # no QC -> full grid computed
+        # probabilities in range
+        assert ((hm.logits[computed] >= 0) & (hm.logits[computed] <= 1)).all()
+        hm.save(str(tmp_path / "out"))
+        assert os.path.exists(join(str(tmp_path / "out"), "hs-preds.png"))
+        assert os.path.exists(
+            join(str(tmp_path / "out"), "hs-uncertainty.png")
+        )
+
+    def test_uq_masking_workflow(self, tiny_saved_model, tmp_path):
+        # The Figure-5 masking idiom (results.py:222-227) works on our arrays.
+        from biscuit_tpu.heatmap import Heatmap
+
+        P, model_path, tmp = tiny_saved_model
+        slide_path = str(tmp_path / "hs2.png")
+        make_slide_image(slide_path, size=128, seed=3)
+        hm = Heatmap(slide_path, model_path, batch_size=16)
+        thresh = float(np.median(hm.uncertainty[hm.uncertainty > -99]))
+        uq_mask = hm.uncertainty[:, :, 0] > thresh
+        hm.logits[uq_mask, :] = [-1, -1]
+        assert (hm.logits[uq_mask] == -1).all()
+
+
+class TestMosaic:
+    def test_features_and_maps(self, tiny_saved_model, tmp_path):
+        from biscuit_tpu.mosaic import (
+            generate_features,
+            generate_mosaic,
+            slide_map_from_features,
+        )
+
+        P, model_path, tmp = tiny_saved_model
+        tfrecords = P.dataset().tfrecords()
+        features, meta, tiles = generate_features(
+            model_path, tfrecords, max_tiles=4, keep_tiles=True,
+            cache=str(tmp_path / "cache.npz"),
+        )
+        assert features.shape == (32, 128)  # 8 slides x 4 tiles, tiny F=128
+        assert len(meta) == 32
+        assert tiles.shape[0] == 32
+
+        smap = slide_map_from_features(features, meta, tiles)
+        smap.label_by_uncertainty(1)
+        assert (smap.labels >= 0).all()
+        smap.label_by_slide()
+        assert len(set(smap.labels)) == 8
+        smap.save(str(tmp_path / "map.png"))
+        assert os.path.exists(str(tmp_path / "map.png"))
+
+        mosaic_img = generate_mosaic(features, meta, tiles, grid=4)
+        assert mosaic_img.shape == (4 * 32, 4 * 32, 3)
+        # cache round-trip
+        f2, m2, t2 = generate_features(
+            model_path, tfrecords, max_tiles=4, keep_tiles=True,
+            cache=str(tmp_path / "cache.npz"),
+        )
+        np.testing.assert_array_equal(features, f2)
+
+
+class TestCLISmoke:
+    def test_helps(self):
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.configure import configure_projects
+        from biscuit_tpu.cli.results import show_results
+        from biscuit_tpu.cli.train import train_models
+
+        r = CliRunner()
+        for cmd in (configure_projects, train_models, show_results):
+            result = r.invoke(cmd, ["--help"])
+            assert result.exit_code == 0, result.output
+
+    def test_num_range(self):
+        from biscuit_tpu.cli.train import num_range
+
+        assert num_range("1-6") == [1, 2, 3, 4, 5, 6]
+        assert num_range("1,3,5") == [1, 3, 5]
+        assert num_range("4") == [4]
