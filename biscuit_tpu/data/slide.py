@@ -34,6 +34,48 @@ BLUR_THRESHOLD = 15.0
 TISSUE_FRACTION = 0.25
 
 
+def load_roi_csv(path: str):
+    """Load slideflow-style ROI polygons: CSV with columns
+    ``roi_name`` (or ``ROI_Name``), ``x_base``, ``y_base`` — one vertex per
+    row, grouped by name, in level-0 pixel coordinates."""
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    cols = {c.lower(): c for c in df.columns}
+    name_col = cols.get("roi_name", cols.get("name"))
+    x_col = cols.get("x_base", cols.get("x"))
+    y_col = cols.get("y_base", cols.get("y"))
+    if x_col is None or y_col is None:
+        raise ValueError(f"Unrecognized ROI CSV columns in {path}")
+    polys = []
+    groups = df.groupby(name_col) if name_col else [(0, df)]
+    for _, g in groups:
+        poly = np.stack(
+            [g[x_col].to_numpy(float), g[y_col].to_numpy(float)], axis=1
+        )
+        if len(poly) >= 3:
+            polys.append(poly)
+    return polys
+
+
+def points_in_polygon(points: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon test.
+
+    Args:
+        points: (N, 2) xy coordinates.
+        poly: (M, 2) polygon vertices.
+    """
+    x, y = points[:, 0, None], points[:, 1, None]
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(poly[:, 0], -1), np.roll(poly[:, 1], -1)
+    crosses = ((y1 <= y) & (y < y2)) | ((y2 <= y) & (y < y1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x_int = x1 + (y - y1) * (x2 - x1) / np.where(y2 == y1, np.inf,
+                                                     y2 - y1)
+    hits = crosses & (x < x_int)
+    return hits.sum(axis=1) % 2 == 1
+
+
 def otsu_threshold(gray: np.ndarray) -> float:
     """Otsu's method on a uint8 grayscale array."""
     hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
@@ -101,6 +143,12 @@ class WSI:
         self.grid_y = max(0, (self.height - self.extract_px) // self.stride + 1)
         self.qc = qc
         self._tissue_mask = None
+        # ROI handling (configure.py:70-76 plumbing): `rois` may be polygon
+        # arrays or a path to a slideflow-style ROI CSV. roi_method:
+        # 'inside' keeps tiles whose centers fall in any ROI, 'outside'
+        # the complement, 'ignore'/'auto' disables ROI filtering.
+        if isinstance(rois, str):
+            rois = load_roi_csv(rois)
         self.rois = rois
         if qc in ("otsu", "both"):
             self._compute_tissue_mask()
@@ -144,11 +192,22 @@ class WSI:
         return region.size > 0 and region.mean() >= TISSUE_FRACTION
 
     def coords(self):
-        """All grid coordinates as (grid_i, grid_j, x, y)."""
+        """Grid coordinates as (grid_i, grid_j, x, y), ROI-filtered when a
+        ROI list is present and roi_method is 'inside'/'outside'."""
         out = []
         for j in range(self.grid_y):
             for i in range(self.grid_x):
                 out.append((i, j, i * self.stride, j * self.stride))
+        if self.rois and self.roi_method in ("inside", "outside"):
+            centers = np.asarray(
+                [(x + self.extract_px / 2, y + self.extract_px / 2)
+                 for _, _, x, y in out]
+            )
+            inside = np.zeros(len(out), bool)
+            for poly in self.rois:
+                inside |= points_in_polygon(centers, np.asarray(poly))
+            keep = inside if self.roi_method == "inside" else ~inside
+            out = [c for c, k in zip(out, keep) if k]
         return out
 
     def read_tile(self, x: int, y: int) -> np.ndarray:
@@ -250,8 +309,13 @@ def extract_tiles_for_project(project, tile_px=299, tile_um=302, qc=None,
             if os.path.exists(out_path):
                 log.debug(f"{name}: tfrecord exists; skipping")
                 continue
+            roi_dir = cfg.get("roi", "")
+            roi_csv = join(roi_dir, f"{name}.csv") if roi_dir else ""
+            roi_kw = {}
+            if roi_csv and os.path.exists(roi_csv):
+                roi_kw = {"rois": roi_csv, "roi_method": "inside"}
             wsi = WSI(join(slides_dir, fname), tile_px, tile_um, qc=qc,
-                      **kwargs)
+                      **roi_kw, **kwargs)
             n = wsi.extract_tiles(out_path, img_format=img_format)
             report.append({"slide": name, "tiles": n, "source": src,
                            "grid": f"{wsi.grid_x}x{wsi.grid_y}"})

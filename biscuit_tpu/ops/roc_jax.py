@@ -162,6 +162,98 @@ def group_reduce(y_true, y_pred, uncertainty, segment_ids,
     }
 
 
+def _masked_midranks(score, select, within):
+    """Midranks of ``score[within]`` restricted to the ``select`` subset,
+    evaluated pairwise (O(n^2)) — DeLong runs at slide/patient scale
+    (hundreds to thousands of groups), where a pairwise matrix is trivial
+    for the VPU and avoids dynamic shapes entirely.
+
+    rank_i = #[j in subset : s_j < s_i] + (#[j in subset : s_j == s_i]+1)/2
+    """
+    s_i = score[:, None]
+    s_j = score[None, :]
+    sel = (select * within).astype(jnp.float32)[None, :]
+    less = jnp.sum((s_j < s_i) * sel, axis=1)
+    equal = jnp.sum((s_j == s_i) * sel, axis=1)
+    return less + (equal + 1.0) / 2.0
+
+
+@jax.jit
+def delong_variance_jax(y_true, y_score, mask=None):
+    """(AUC, DeLong variance) for one classifier — the jittable counterpart
+    of delong.delong_roc_variance (Sun & Xu 2014 fast DeLong). Static
+    shapes; optional mask for padded rows."""
+    y_true = y_true.astype(jnp.float32)
+    y_score = y_score.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(y_true)
+    mask = mask.astype(jnp.float32)
+    pos = y_true * mask
+    neg = (1.0 - y_true) * mask
+    m = jnp.sum(pos)
+    n = jnp.sum(neg)
+
+    tx = _masked_midranks(y_score, pos, mask)   # ranks among positives
+    ty = _masked_midranks(y_score, neg, mask)   # ranks among negatives
+    tz = _masked_midranks(y_score, mask, mask)  # ranks among all valid
+
+    auc = (jnp.sum(tz * pos) - m * (m + 1.0) / 2.0) / (m * n)
+    # Structural components (Sun & Xu eq. 5-6).
+    v01 = (tz - tx) / n          # defined at positive positions
+    v10 = 1.0 - (tz - ty) / m    # defined at negative positions
+    mean01 = jnp.sum(v01 * pos) / m
+    mean10 = jnp.sum(v10 * neg) / n
+    s01 = jnp.sum(((v01 - mean01) ** 2) * pos) / jnp.maximum(m - 1.0, 1.0)
+    s10 = jnp.sum(((v10 - mean10) ** 2) * neg) / jnp.maximum(n - 1.0, 1.0)
+    var = s01 / m + s10 / n
+    return auc, var
+
+
+@jax.jit
+def delong_test_jax(y_true, score_a, score_b, mask=None):
+    """log10 p-value that two paired classifiers have different AUCs — the
+    jittable counterpart of delong.delong_roc_test."""
+    y_true = y_true.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(y_true)
+    mask = mask.astype(jnp.float32)
+    pos = y_true * mask
+    neg = (1.0 - y_true) * mask
+    m = jnp.sum(pos)
+    n = jnp.sum(neg)
+
+    aucs = []
+    v01s, v10s = [], []
+    for s in (score_a.astype(jnp.float32), score_b.astype(jnp.float32)):
+        tx = _masked_midranks(s, pos, mask)
+        ty = _masked_midranks(s, neg, mask)
+        tz = _masked_midranks(s, mask, mask)
+        aucs.append((jnp.sum(tz * pos) - m * (m + 1.0) / 2.0) / (m * n))
+        v01s.append((tz - tx) / n)
+        v10s.append(1.0 - (tz - ty) / m)
+
+    def cov(u, v, sel, count):
+        mu = jnp.sum(u * sel) / count
+        mv = jnp.sum(v * sel) / count
+        return jnp.sum((u - mu) * (v - mv) * sel) / jnp.maximum(
+            count - 1.0, 1.0
+        )
+
+    s01 = jnp.array(
+        [[cov(v01s[a], v01s[b], pos, m) for b in range(2)] for a in range(2)]
+    )
+    s10 = jnp.array(
+        [[cov(v10s[a], v10s[b], neg, n) for b in range(2)] for a in range(2)]
+    )
+    sigma = s01 / m + s10 / n
+    contrast = jnp.array([1.0, -1.0])
+    var = contrast @ sigma @ contrast
+    z = jnp.abs(aucs[0] - aucs[1]) / jnp.sqrt(var)
+    # log10(2 * (1 - Phi(z))) via the complementary error function.
+    log_sf = jnp.log(0.5 * jax.scipy.special.erfc(z / jnp.sqrt(2.0)))
+    return jnp.log10(2.0) + log_sf / jnp.log(10.0)
+
+
 @partial(jax.jit, static_argnames=("num_segments",))
 def apply_thresholds_jax(
     y_true, y_pred, uncertainty, segment_ids, num_segments: int,

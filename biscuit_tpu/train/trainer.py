@@ -449,13 +449,23 @@ def _train_single(
         val_iter = iter(val_batcher)
 
     # --- training loop -----------------------------------------------------------
+    # Observability (SURVEY.md §5.1/§5.5): per-step metrics stream to
+    # train_log.csv; BISCUIT_PROFILE=1 wraps the loop in a jax.profiler
+    # trace written under the model dir.
+    import time as _time
+
     key = jax.random.PRNGKey(seed)
     step = 0
     early_stop_batch = None
     best_val_acc, checks_since_best = -1.0, 0
     es_patience = 5
     results_rows = []
+    step_log = []
+    profiling = os.environ.get("BISCUIT_PROFILE") == "1"
+    if profiling:
+        jax.profiler.start_trace(join(model_dir, "profile"))
     train_iter = iter(train_batcher)
+    t_last = _time.perf_counter()
 
     for epoch in range(1, max_epoch + 1):
         for _ in range(steps_per_epoch):
@@ -466,6 +476,20 @@ def _train_single(
                 batch["label"], batch["mask"].astype(np.float32), sub,
             )
             step += 1
+            if step % 10 == 0 or step == 1:
+                now = _time.perf_counter()
+                step_log.append(
+                    {
+                        "step": step,
+                        "epoch": epoch,
+                        "loss": float(metrics["loss"]),
+                        "acc": float(metrics["acc"]),
+                        "lr": float(lr_schedule(hp)(step)),
+                        "tiles_per_s": hp.batch_size
+                        * (10 if step > 1 else 1) / (now - t_last),
+                    }
+                )
+                t_last = now
 
             if (
                 val_batcher is not None
@@ -552,6 +576,12 @@ def _train_single(
     train_batcher.close()
     if val_batcher is not None:
         val_batcher.close()
+    if profiling:
+        jax.profiler.stop_trace()
+    if step_log:
+        pd.DataFrame(step_log).to_csv(
+            join(model_dir, "train_log.csv"), index=False
+        )
     pd.DataFrame(results_rows).to_csv(
         join(model_dir, "results_log.csv"), index=False
     )

@@ -222,3 +222,59 @@ class TestSubmeshScheduler:
         results = sched.run([bad, lambda m: 42])
         assert isinstance(results[0], RuntimeError)
         assert results[1] == 42
+
+
+class TestDelongJax:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_variance_matches_host(self, seed):
+        import jax.numpy as jnp
+
+        from biscuit_tpu.delong import delong_roc_variance
+        from biscuit_tpu.ops.roc_jax import delong_variance_jax
+
+        rng = np.random.default_rng(seed)
+        y = rng.integers(0, 2, 300)
+        if y.sum() in (0, 300):
+            y[0] = 1 - y[0]
+        p = np.round(rng.random(300) + 0.4 * y, 2)  # ties + signal
+        h_auc, h_var = delong_roc_variance(y, p)
+        d_auc, d_var = delong_variance_jax(jnp.asarray(y), jnp.asarray(p))
+        assert float(d_auc) == pytest.approx(h_auc, abs=1e-5)
+        assert float(d_var) == pytest.approx(float(np.squeeze(h_var)),
+                                             rel=1e-4, abs=1e-8)
+
+    def test_variance_with_mask(self):
+        import jax.numpy as jnp
+
+        from biscuit_tpu.delong import delong_roc_variance
+        from biscuit_tpu.ops.roc_jax import delong_variance_jax
+
+        rng = np.random.default_rng(5)
+        y = rng.integers(0, 2, 200)
+        p = rng.random(200) + 0.3 * y
+        y_pad = np.r_[y, np.ones(56, int)]
+        p_pad = np.r_[p, rng.random(56)]
+        mask = np.r_[np.ones(200), np.zeros(56)]
+        h_auc, h_var = delong_roc_variance(y, p)
+        d_auc, d_var = delong_variance_jax(
+            jnp.asarray(y_pad), jnp.asarray(p_pad), jnp.asarray(mask)
+        )
+        assert float(d_auc) == pytest.approx(h_auc, abs=1e-5)
+        assert float(d_var) == pytest.approx(float(np.squeeze(h_var)),
+                                             rel=1e-4, abs=1e-8)
+
+    @pytest.mark.parametrize("seed", range(2))
+    def test_paired_test_matches_host(self, seed):
+        import jax.numpy as jnp
+
+        from biscuit_tpu.delong import delong_roc_test
+        from biscuit_tpu.ops.roc_jax import delong_test_jax
+
+        rng = np.random.default_rng(10 + seed)
+        y = rng.integers(0, 2, 250)
+        a = rng.random(250) + 0.5 * y
+        b = rng.random(250) + 0.2 * y
+        h = float(np.squeeze(delong_roc_test(y, a, b)))
+        d = float(delong_test_jax(jnp.asarray(y), jnp.asarray(a),
+                                  jnp.asarray(b)))
+        assert d == pytest.approx(h, rel=1e-3, abs=1e-3)

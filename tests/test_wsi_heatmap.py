@@ -233,3 +233,49 @@ class TestCLISmoke:
         assert num_range("1-6") == [1, 2, 3, 4, 5, 6]
         assert num_range("1,3,5") == [1, 3, 5]
         assert num_range("4") == [4]
+
+
+class TestROI:
+    def test_points_in_polygon(self):
+        from biscuit_tpu.data.slide import points_in_polygon
+
+        square = np.array([[10, 10], [50, 10], [50, 50], [10, 50]], float)
+        pts = np.array([[30, 30], [5, 5], [49, 49], [60, 30]], float)
+        np.testing.assert_array_equal(
+            points_in_polygon(pts, square), [True, False, True, False]
+        )
+
+    def test_roi_inside_filtering(self, tmp_path):
+        from biscuit_tpu.data.slide import WSI
+
+        p = str(tmp_path / "roi_slide.png")
+        make_slide_image(p)
+        # ROI covering the left half of the 256px slide.
+        roi_csv = str(tmp_path / "roi_slide.csv")
+        pd.DataFrame(
+            {
+                "roi_name": ["r1"] * 4,
+                "x_base": [0, 128, 128, 0],
+                "y_base": [0, 0, 256, 256],
+            }
+        ).to_csv(roi_csv, index=False)
+        wsi_all = WSI(p, 32, 32, mpp=1.0)
+        wsi_in = WSI(p, 32, 32, mpp=1.0, rois=roi_csv, roi_method="inside")
+        wsi_out = WSI(p, 32, 32, mpp=1.0, rois=roi_csv, roi_method="outside")
+        n_all = len(wsi_all.coords())
+        n_in = len(wsi_in.coords())
+        n_out = len(wsi_out.coords())
+        assert n_in + n_out == n_all
+        assert 0 < n_in < n_all
+        # inside tiles have center x < 128
+        for _, _, x, y in wsi_in.coords():
+            assert x + 16 < 128
+
+    def test_roi_ignore_keeps_all(self, tmp_path):
+        from biscuit_tpu.data.slide import WSI
+
+        p = str(tmp_path / "roi2.png")
+        make_slide_image(p)
+        roi = [np.array([[0, 0], [10, 0], [10, 10]], float)]
+        wsi = WSI(p, 32, 32, mpp=1.0, rois=roi, roi_method="ignore")
+        assert len(wsi.coords()) == 64
