@@ -1,0 +1,67 @@
+"""Multi-host (DCN) initialization and per-process data placement.
+
+The reference has no distributed runtime at all (SURVEY.md §2.5/§5.8). The
+TPU-native recipe for multi-host slices is the standard JAX one — no custom
+transport layer: ``jax.distributed.initialize`` connects the hosts, a global
+Mesh spans all devices, each host feeds its own shard of the tile stream,
+and ``jax.make_array_from_process_local_data`` assembles the global batch;
+XLA routes gradient reductions over ICI within a slice and DCN across
+hosts.
+
+Single-host (this environment) these helpers degrade to no-ops, so the same
+training code runs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..utils_log import log
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Connect this host into a multi-host JAX runtime (no-op when JAX can
+    auto-detect or when already single-process)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # Single-host or TPU-pod auto-detection handles it.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-host without cluster env vars
+            log.debug(f"jax.distributed.initialize skipped: {e}")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_shard() -> tuple[int, int]:
+    """(shard index, num shards) for the host data pipeline — feed these to
+    TileBatcher(shard=..., num_shards=...)."""
+    return jax.process_index(), jax.process_count()
+
+
+def global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:
+    """Assemble a process-local host batch into global sharded arrays.
+
+    Array leaves become jax.Arrays sharded along the mesh's data axis
+    (each host contributes its local rows); non-array leaves pass through.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        if isinstance(x, np.ndarray):
+            return jax.make_array_from_process_local_data(sharding, x)
+        return x
+
+    return {k: put(v) for k, v in local_batch.items()}

@@ -198,6 +198,22 @@ def predict_tiles(
     return df, probs, (np.concatenate(unc_all) if unc_all else None)
 
 
+
+
+def _write_predictions(df, path_base: str, fmt) -> None:
+    """Write a predictions frame in the requested format.
+
+    fmt: 'csv' (default; also for True), 'parquet' (writes
+    ``{base}.parquet.gzip``, the slideflow 1.2 variant the reference reads
+    back at utils.py:216-221), or falsy to skip.
+    """
+    if not fmt:
+        return
+    if fmt == "parquet":
+        df.to_parquet(path_base + ".parquet.gzip", compression="gzip")
+    else:
+        df.to_csv(path_base + ".csv", index=False)
+
 def tile_predictions_frame(outcome, df, probs, unc) -> pd.DataFrame:
     """Assemble the tile_predictions CSV columns
     ({outcome}_y_true0, {outcome}_y_pred{i}, {outcome}_uncertainty{i} —
@@ -321,8 +337,13 @@ def train_project(
     seed: int = 0,
     max_tiles: Optional[int] = None,
     mesh=None,
+    checkpoint_every: Optional[int] = None,
 ):
     """Train model(s) for an experiment label; sf.Project.train equivalent.
+
+    Args (beyond the reference contract):
+        checkpoint_every: save an Orbax checkpoint every N steps inside the
+            run and auto-resume from it if the run is re-launched.
 
     Returns list of created model directories.
     """
@@ -362,6 +383,8 @@ def train_project(
                     save_model=save_model,
                     steps_per_epoch_override=steps_per_epoch_override,
                     seed=seed + k, max_tiles=max_tiles, mesh=mesh,
+                    checkpoint_every=checkpoint_every,
+                    save_predictions=save_predictions,
                 )
             )
     elif val_strategy == "none":
@@ -375,6 +398,8 @@ def train_project(
                 save_model=save_model,
                 steps_per_epoch_override=steps_per_epoch_override,
                 seed=seed, max_tiles=max_tiles, mesh=mesh,
+                checkpoint_every=checkpoint_every,
+                save_predictions=save_predictions,
             )
         )
     else:
@@ -386,6 +411,7 @@ def _train_single(
     project, outcome, exp_label, hp, labels, patients, by_slide,
     train_slides, val_slides, kfold, validate_on_batch, validation_steps,
     save_model, steps_per_epoch_override, seed, max_tiles, mesh,
+    checkpoint_every=None, save_predictions="csv",
 ):
     """Train one model (one fold); writes the full §2.4 contract."""
     model = build_model(hp)
@@ -411,10 +437,25 @@ def _train_single(
     )
 
     # --- model dir -------------------------------------------------------------
-    n = _next_run_number(project.models_dir)
-    model_dir = join(
-        project.models_dir, _model_dir_name(n, outcome, exp_label, kfold)
-    )
+    # Re-launch semantics: an existing dir for this (outcome, label, kfold)
+    # that died mid-run (has no results_log.csv) is reused so the in-run
+    # checkpointer can resume it; completed dirs are never reused (the
+    # Experiment layer skips them via model_exists).
+    tail = "" if kfold is None else f"-kfold{kfold}"
+    wanted_suffix = f"{outcome}-{exp_label}-HP0{tail}"
+    incomplete = [
+        d for d in os.listdir(project.models_dir)
+        if d[6:] == wanted_suffix
+        and not os.path.exists(join(project.models_dir, d, "results_log.csv"))
+    ]
+    if incomplete:
+        model_dir = join(project.models_dir, sorted(incomplete)[-1])
+        log.info(f"Reusing incomplete run dir {model_dir}")
+    else:
+        n = _next_run_number(project.models_dir)
+        model_dir = join(
+            project.models_dir, _model_dir_name(n, outcome, exp_label, kfold)
+        )
     os.makedirs(model_dir, exist_ok=True)
     pd.DataFrame(
         [{"slide": s, "dataset": "training"} for s in train_slides]
@@ -464,18 +505,31 @@ def _train_single(
     profiling = os.environ.get("BISCUIT_PROFILE") == "1"
     if profiling:
         jax.profiler.start_trace(join(model_dir, "profile"))
+
+    # In-run fault tolerance (SURVEY.md §5.4): restore the latest periodic
+    # checkpoint and fast-forward past completed steps.
+    from .checkpoint import RunCheckpointer
+
+    ckpt = RunCheckpointer(model_dir, every=checkpoint_every)
+    params, batch_stats, opt_state, restored_step = ckpt.maybe_restore(
+        params, batch_stats, opt_state
+    )
+
     train_iter = iter(train_batcher)
     t_last = _time.perf_counter()
 
     for epoch in range(1, max_epoch + 1):
         for _ in range(steps_per_epoch):
-            batch = next(train_iter)
+            step += 1
             key, sub = jax.random.split(key)
+            if step <= restored_step:
+                continue  # fast-forward (RNG stream stays aligned)
+            batch = next(train_iter)
             params, batch_stats, opt_state, metrics = train_step(
                 params, batch_stats, opt_state, batch["image"],
                 batch["label"], batch["mask"].astype(np.float32), sub,
             )
-            step += 1
+            ckpt.save(step, params, batch_stats, opt_state)
             if step % 10 == 0 or step == 1:
                 now = _time.perf_counter()
                 step_log.append(
@@ -527,25 +581,24 @@ def _train_single(
                     mesh=mesh, max_tiles=max_tiles,
                 )
                 tile_df = tile_predictions_frame(outcome, df, probs, unc)
-                tile_df.to_csv(
-                    join(model_dir, f"tile_predictions_val_epoch{epoch}.csv"),
-                    index=False,
+                _write_predictions(
+                    tile_df,
+                    join(model_dir, f"tile_predictions_val_epoch{epoch}"),
+                    save_predictions,
                 )
                 pt_df = group_predictions_frame(df, probs, patients, "patient")
-                pt_df.to_csv(
-                    join(
-                        model_dir,
-                        f"patient_predictions_{outcome}_val_epoch{epoch}.csv",
-                    ),
-                    index=False,
+                _write_predictions(
+                    pt_df,
+                    join(model_dir,
+                         f"patient_predictions_{outcome}_val_epoch{epoch}"),
+                    save_predictions,
                 )
                 sl_df = group_predictions_frame(df, probs, patients, "slide")
-                sl_df.to_csv(
-                    join(
-                        model_dir,
-                        f"slide_predictions_{outcome}_val_epoch{epoch}.csv",
-                    ),
-                    index=False,
+                _write_predictions(
+                    sl_df,
+                    join(model_dir,
+                         f"slide_predictions_{outcome}_val_epoch{epoch}"),
+                    save_predictions,
                 )
                 t_auc, t_ap = _level_metrics(df["y_true"], probs[:, 1])
                 s_auc, s_ap = _level_metrics(
@@ -576,6 +629,7 @@ def _train_single(
     train_batcher.close()
     if val_batcher is not None:
         val_batcher.close()
+    ckpt.close()
     if profiling:
         jax.profiler.stop_trace()
     if step_log:

@@ -131,11 +131,21 @@ def get_model_results(path, epoch, outcome):
     if exists(pred_path):
         _, opt_thresh = auc_and_threshold(*read_group_predictions(pred_path))
     else:
-        try:
-            pq = join(path, "patient_predictions_val_epoch1.parquet.gzip")
-            _, opt_thresh = auc_and_threshold(*read_group_predictions(pq))
-        except OSError:
-            opt_thresh = None
+        opt_thresh = None
+        for pq in (
+            join(path,
+                 f"patient_predictions_{outcome}_val_epoch{epoch}"
+                 ".parquet.gzip"),
+            # reference's slideflow-1.2 fallback name (utils.py:105)
+            join(path, "patient_predictions_val_epoch1.parquet.gzip"),
+        ):
+            try:
+                _, opt_thresh = auc_and_threshold(
+                    *read_group_predictions(pq)
+                )
+                break
+            except OSError:
+                continue
     out["opt_thresh"] = opt_thresh
     return out
 

@@ -397,3 +397,62 @@ class TestSaveEvalInterface:
             join(eval_dir, "patient_predictions_cohort_eval.csv")
         )
         assert len(yt) == 12
+
+
+class TestCheckpointResume:
+    def test_in_run_checkpoint_and_resume(self, synthetic_project, tmp_path):
+        """Orbax in-run checkpointing (SURVEY.md 5.4): a re-launched run
+        restores the latest checkpoint and fast-forwards."""
+        import shutil
+
+        from biscuit_tpu import utils
+        from biscuit_tpu.train.checkpoint import RunCheckpointer
+
+        hp = tiny_hp()
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_CKPT", params=hp,
+            val_strategy="none", checkpoint_every=4,
+        )
+        model_dir = dirs[0]
+        assert os.path.exists(join(model_dir, "ckpt"))
+        import jax
+
+        from biscuit_tpu.models.xception import build_model
+        from biscuit_tpu.train.trainer import init_model, make_optimizer
+
+        model = build_model(hp)
+        tx = make_optimizer(hp)
+        params, bs = init_model(model, hp, jax.random.PRNGKey(0))
+        opt = tx.init(params)
+        ck = RunCheckpointer(model_dir, every=4)
+        p2, bs2, opt2, step = ck.maybe_restore(params, bs, opt)
+        ck.close()
+        assert step >= 4  # restored a saved step
+        # restored params differ from fresh init (training happened)
+        leaf = jax.tree_util.tree_leaves(p2)[0]
+        fresh = jax.tree_util.tree_leaves(params)[0]
+        assert not np.array_equal(np.asarray(leaf), np.asarray(fresh))
+
+
+class TestParquetPredictions:
+    def test_parquet_save_and_read(self, synthetic_project):
+        from biscuit_tpu import utils
+
+        hp = tiny_hp(uq=True)
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_PQ", params=hp,
+            val_k=[1], val_strategy="k-fold", save_predictions="parquet",
+        )
+        assert os.path.exists(
+            join(dirs[0], "tile_predictions_val_epoch1.parquet.gzip")
+        )
+        assert not os.path.exists(
+            join(dirs[0], "tile_predictions_val_epoch1.csv")
+        )
+        # df_from_cv's parquet fallback reads it (k=1 fold)
+        dfs = utils.df_from_cv(synthetic_project, "EXP_PQ",
+                               outcome="cohort", k=1)
+        assert {"y_true", "y_pred", "uncertainty"} <= set(dfs[0].columns)
+        # results_log opt_thresh resolves via the parquet patient file
+        res = utils.get_model_results(dirs[0], epoch=1, outcome="cohort")
+        assert res["opt_thresh"] is not None
