@@ -127,7 +127,16 @@ def _generate_uq_heatmaps(exp, slide_path, outdir):
     uq_mask = hm.uncertainty[:, :, 0] > thresh["tile_uq"]
     hm.logits[uq_mask, :] = [-1, -1]
     hm.save(join(outdir, "heatmap_masked"))
-    click.echo(f"Heatmaps -> {outdir}")
+    # Per-tile UQ inference + export by uncertainty (results.py:234-265) —
+    # the reference's one-tile-at-a-time TF loop, batched through the
+    # jitted UQ pipeline here.
+    from ..heatmap import export_tiles_by_uncertainty
+
+    export_tiles_by_uncertainty(
+        slide_path, model, tile_uq=thresh["tile_uq"],
+        outdir=join(outdir, "tiles"),
+    )
+    click.echo(f"Heatmaps + UQ tile export -> {outdir}")
 
 
 def _generate_umap_mosaics(exp, outdir):

@@ -23,6 +23,80 @@ from .data.slide import WSI
 from .utils_log import log
 
 
+def export_tiles_by_uncertainty(
+    slide: str,
+    model: str,
+    tile_uq: float,
+    outdir: str,
+    batch_size: int = 64,
+    k: Optional[int] = None,
+    max_tiles: Optional[int] = None,
+    qc: Optional[str] = None,
+):
+    """Per-tile UQ inference over a slide, exporting tile PNGs into
+    ``uq_incl/`` (uncertainty < threshold) and ``uq_excl/`` directories.
+
+    This is the reference's Figure-5 tile loop (SURVEY.md §3.3 / reference
+    results.py:234-265): normalizer -> standardization -> K-pass MC dropout
+    -> route by the tile uncertainty threshold. The reference runs it one
+    tile at a time through TF; here tiles stream in batches through the
+    jitted UQ pipeline (the BASELINE.json hot-loop target).
+
+    Returns (n_included, n_excluded).
+    """
+    import jax
+    from PIL import Image
+
+    from .train.uq import UncertaintyInterface
+
+    interface = UncertaintyInterface(model, k=k)
+    hp = interface.hp
+    wsi = WSI(slide, hp.tile_px, hp.tile_um, qc=qc)
+    incl_dir = os.path.join(outdir, "uq_incl")
+    excl_dir = os.path.join(outdir, "uq_excl")
+    os.makedirs(incl_dir, exist_ok=True)
+    os.makedirs(excl_dir, exist_ok=True)
+
+    n_incl = n_excl = 0
+    batch_imgs, batch_locs = [], []
+    key = jax.random.PRNGKey(0)
+
+    def flush():
+        nonlocal batch_imgs, batch_locs, key, n_incl, n_excl
+        if not batch_imgs:
+            return
+        key, sub = jax.random.split(key)
+        n_valid = len(batch_imgs)
+        while len(batch_imgs) < batch_size:
+            batch_imgs.append(np.zeros_like(batch_imgs[0]))
+        _probs, unc = interface(np.stack(batch_imgs), key=sub)
+        unc = np.asarray(unc)[:n_valid, 1]
+        for img, (i, j), u in zip(batch_imgs[:n_valid], batch_locs, unc):
+            dest = incl_dir if u < tile_uq else excl_dir
+            Image.fromarray(img).save(
+                os.path.join(dest, f"{wsi.name}-{i}-{j}-{u:.5f}.png")
+            )
+            if u < tile_uq:
+                n_incl += 1
+            else:
+                n_excl += 1
+        batch_imgs, batch_locs = [], []
+
+    for idx, item in enumerate(wsi.build_generator(include_loc="grid")()):
+        if max_tiles is not None and idx >= max_tiles:
+            break
+        batch_imgs.append(item["image"])
+        batch_locs.append(item["loc"])
+        if len(batch_imgs) == batch_size:
+            flush()
+    flush()
+    log.info(
+        f"Exported {n_incl} high-confidence / {n_excl} uncertain tiles "
+        f"from {wsi.name}"
+    )
+    return n_incl, n_excl
+
+
 class Heatmap:
     def __init__(
         self,

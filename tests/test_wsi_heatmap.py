@@ -279,3 +279,72 @@ class TestROI:
         roi = [np.array([[0, 0], [10, 0], [10, 10]], float)]
         wsi = WSI(p, 32, 32, mpp=1.0, rois=roi, roi_method="ignore")
         assert len(wsi.coords()) == 64
+
+
+class TestTileExport:
+    def test_export_by_uncertainty(self, tiny_saved_model, tmp_path):
+        from biscuit_tpu.heatmap import export_tiles_by_uncertainty
+
+        P, model_path, tmp = tiny_saved_model
+        slide_path = str(tmp_path / "ex.png")
+        make_slide_image(slide_path, size=128)
+        n_incl, n_excl = export_tiles_by_uncertainty(
+            slide_path, model_path, tile_uq=0.5, outdir=str(tmp_path / "out"),
+            batch_size=16,
+        )
+        assert n_incl + n_excl == 16  # 4x4 grid
+        incl = os.listdir(join(str(tmp_path / "out"), "uq_incl"))
+        excl = os.listdir(join(str(tmp_path / "out"), "uq_excl"))
+        assert len(incl) == n_incl and len(excl) == n_excl
+        # filenames carry slide, grid loc, and the uncertainty value
+        if incl:
+            assert incl[0].startswith("ex-")
+
+
+class TestShardedNumerics:
+    def test_dp_sharded_matches_single_device(self):
+        """SURVEY.md 4.4: sharded == unsharded numerics for one train step."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_model_trainer import tiny_hp
+
+        from biscuit_tpu.models.xception import build_model
+        from biscuit_tpu.train.trainer import (
+            init_model, make_optimizer, make_train_step,
+        )
+
+        # f32 compute so any mismatch is a sharding bug, not bf16 tiling
+        hp = tiny_hp(batch_size=16, augment="", compute_dtype="float32")
+        model = build_model(hp)
+        tx = make_optimizer(hp)
+        params, bs = init_model(model, hp, jax.random.PRNGKey(0))
+        opt = tx.init(params)
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 255, (16, 32, 32, 3)).astype(np.uint8)
+        labels = rng.integers(0, 2, 16).astype(np.int32)
+        mask = np.ones(16, np.float32)
+        key = jax.random.PRNGKey(7)
+
+        step_fn = make_train_step(model, tx, hp, normalizer=None)
+        losses = {}
+        for n_dev in (1, 8):
+            mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+            b = NamedSharding(mesh, P("data"))
+            r = NamedSharding(mesh, P())
+            fn = jax.jit(step_fn, in_shardings=(r, r, r, b, b, b, r))
+            p2, bs2, opt2, metrics = fn(
+                jax.device_put(params, r), jax.device_put(bs, r),
+                jax.device_put(opt, r), jax.device_put(images, b),
+                jax.device_put(labels, b), jax.device_put(mask, b), key,
+            )
+            losses[n_dev] = (
+                float(metrics["loss"]),
+                float(jnp.mean(jax.tree_util.tree_leaves(p2)[0])),
+            )
+        assert losses[1][0] == pytest.approx(losses[8][0], rel=1e-5)
+        assert losses[1][1] == pytest.approx(losses[8][1], rel=1e-4)
