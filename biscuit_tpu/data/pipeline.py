@@ -15,6 +15,8 @@ per-process-data + jax.make_array_from_process_local_data recipe.
 from __future__ import annotations
 
 import io
+import queue
+import threading
 from os.path import basename, splitext
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -164,6 +166,12 @@ class TileBatcher:
         return np.stack(imgs), slides, np.asarray(locs, np.int64)
 
     def __iter__(self) -> Iterator[dict]:
+        if not len(self.entries):
+            # An empty infinite stream would otherwise spin forever.
+            raise ValueError(
+                "TileBatcher has no tiles (empty tfrecord list or all "
+                "slides filtered out)"
+            )
         while True:
             order = np.arange(len(self.entries))
             if self.shuffle:
@@ -208,3 +216,72 @@ class TileBatcher:
         for f in self._files.values():
             f.close()
         self._files.clear()
+
+
+class PrefetchBatcher:
+    """Background-thread prefetch wrapper: decodes the next batches while
+    the device computes the current one (keeps the TPU fed — host PNG
+    decode is the hot host-side op; see benchmarks/bench_kernels.py).
+
+    Wraps any iterable of batches (normally a TileBatcher). ``depth`` is
+    the queue size; 2-3 suffices to hide decode latency behind a train
+    step.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, batcher, depth: int = 3):
+        self.batcher = batcher
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            try:
+                for batch in batcher:
+                    # put with timeout so a full queue can't deadlock close()
+                    # on an infinite batcher.
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(batch, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+            finally:
+                # The sentinel MUST be delivered (a lost sentinel deadlocks
+                # the consumer); retry until it lands or close() is called.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            yield item
+
+    def __len__(self):
+        return len(self.batcher)
+
+    @property
+    def num_batches(self):
+        return self.batcher.num_batches
+
+    def close(self):
+        self._stop.set()
+        # Drain so the worker can observe the stop flag and exit.
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
+        self.batcher.close()

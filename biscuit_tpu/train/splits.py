@@ -55,6 +55,12 @@ def kfold_split(
         site = sites.get(s, s) if sites else s
         groups[site].append(s)
 
+    # Degenerate site structure (fewer sites than folds) would leave folds
+    # empty; fall back to slide-level splitting, as slideflow does when
+    # site preservation is infeasible.
+    if len(groups) < k:
+        groups = {s: [s] for s in slides}
+
     # Per-group class composition.
     def comp(members):
         c = np.zeros(n_classes)

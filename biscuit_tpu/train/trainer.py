@@ -36,7 +36,7 @@ from flax import serialization
 from flax.core import freeze, unfreeze
 
 from ..data.normalize import make_normalizer, per_image_standardization
-from ..data.pipeline import TileBatcher
+from ..data.pipeline import PrefetchBatcher, TileBatcher
 from ..hp import ModelParams
 from ..models.xception import build_model
 from ..parallel.mesh import batch_sharding, data_parallel_mesh, replicated
@@ -166,9 +166,12 @@ def predict_tiles(
             in_shardings=(r_shard, r_shard, b_shard, r_shard),
         )
 
-    batcher = TileBatcher(
-        tfrecords, labels, batch_size=batch_size, shuffle=False,
-        infinite=False, max_tiles=max_tiles, tile_px=hp.tile_px,
+    batcher = PrefetchBatcher(
+        TileBatcher(
+            tfrecords, labels, batch_size=batch_size, shuffle=False,
+            infinite=False, max_tiles=max_tiles, tile_px=hp.tile_px,
+        ),
+        depth=3,
     )
     key = jax.random.PRNGKey(42)
     rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
@@ -515,7 +518,10 @@ def _train_single(
         params, batch_stats, opt_state
     )
 
-    train_iter = iter(train_batcher)
+    # Background prefetch: host decode of the next batches overlaps with
+    # the device step (the TPU would otherwise idle on host PNG decode).
+    train_stream = PrefetchBatcher(train_batcher, depth=3)
+    train_iter = iter(train_stream)
     t_last = _time.perf_counter()
 
     for epoch in range(1, max_epoch + 1):
@@ -626,7 +632,7 @@ def _train_single(
                     exp_label, kfold,
                 )
 
-    train_batcher.close()
+    train_stream.close()
     if val_batcher is not None:
         val_batcher.close()
     ckpt.close()

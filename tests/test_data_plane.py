@@ -286,3 +286,90 @@ class TestProject:
         assert len(ds.slides()) == 30
         assert os.path.isdir(p2.models_dir)
         assert json.load(open(os.path.join(root, "settings.json")))["name"] == "test"
+
+
+class TestPrefetchBatcher:
+    def _make_tfr(self, tmp_path, n=20):
+        import io
+
+        from PIL import Image
+
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+
+        rng = np.random.default_rng(0)
+        p = str(tmp_path / "pf.tfrecords")
+        with TFRecordWriter(p) as w:
+            for t in range(n):
+                buf = io.BytesIO()
+                Image.fromarray(
+                    rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                ).save(buf, format="PNG")
+                w.write_tile("s", buf.getvalue(), loc_x=t)
+        return p
+
+    def test_finite_stream_slow_consumer(self, tmp_path):
+        """Regression: the end-of-stream sentinel must survive a full queue
+        (a lost sentinel deadlocks the consumer)."""
+        import time
+
+        from biscuit_tpu.data.pipeline import PrefetchBatcher, TileBatcher
+
+        p = self._make_tfr(tmp_path)
+        pf = PrefetchBatcher(
+            TileBatcher([p], {"s": 1}, batch_size=4, shuffle=False,
+                        infinite=False, tile_px=16),
+            depth=1,
+        )
+        got = 0
+        for batch in pf:  # slow consumer: queue fills + stream ends early
+            time.sleep(0.2)
+            got += 1
+        assert got == 5
+        pf.close()
+
+    def test_matches_unprefetched(self, tmp_path):
+        from biscuit_tpu.data.pipeline import PrefetchBatcher, TileBatcher
+
+        p = self._make_tfr(tmp_path)
+        kw = dict(batch_size=8, shuffle=False, infinite=False, tile_px=16)
+        plain = list(TileBatcher([p], {"s": 1}, **kw))
+        pre = list(PrefetchBatcher(TileBatcher([p], {"s": 1}, **kw)))
+        assert len(plain) == len(pre)
+        for a, b in zip(plain, pre):
+            np.testing.assert_array_equal(a["image"], b["image"])
+
+    def test_infinite_stream_close(self, tmp_path):
+        import time
+
+        from biscuit_tpu.data.pipeline import PrefetchBatcher, TileBatcher
+
+        p = self._make_tfr(tmp_path)
+        pf = PrefetchBatcher(
+            TileBatcher([p], {"s": 1}, batch_size=4, shuffle=True,
+                        infinite=True, tile_px=16),
+            depth=2,
+        )
+        it = iter(pf)
+        for _ in range(7):
+            next(it)
+        t0 = time.time()
+        pf.close()
+        assert time.time() - t0 < 3  # close() must not hang
+
+    def test_empty_batcher_raises(self, tmp_path):
+        from biscuit_tpu.data.pipeline import TileBatcher
+
+        b = TileBatcher([], {}, batch_size=4, infinite=True, tile_px=16)
+        with pytest.raises(ValueError):
+            next(iter(b))
+
+    def test_degenerate_sites_fall_back(self):
+        from biscuit_tpu.train.splits import kfold_split
+
+        # All slides share one site: site preservation infeasible -> must
+        # fall back to slide-level splits (regression for the empty-fold
+        # deadlock chain).
+        labels = {f"s{i}": i % 2 for i in range(12)}
+        sites = {f"s{i}": "?" for i in range(12)}
+        folds = kfold_split(list(labels), labels, sites, k=3)
+        assert all(len(f) == 4 for f in folds.values())
