@@ -207,7 +207,18 @@ class XceptionClassifier(nn.Module):
     compute_dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.backbone = XceptionBackbone(self.arch, dtype=self.compute_dtype)
+        if self.arch in ARCHS:
+            self.backbone = XceptionBackbone(
+                self.arch, dtype=self.compute_dtype
+            )
+        else:
+            from .resnet import RESNET_ARCHS, ResNetBackbone
+
+            if self.arch not in RESNET_ARCHS:
+                raise ValueError(f"Unknown architecture {self.arch!r}")
+            self.backbone = ResNetBackbone(
+                self.arch, dtype=self.compute_dtype
+            )
         self.head = Head(
             num_classes=self.num_classes,
             hidden_layers=self.hidden_layers,
@@ -234,9 +245,28 @@ class XceptionClassifier(nn.Module):
         return self.head(feats, train=train, mc_dropout=mc_dropout)
 
 
+def available_models():
+    """All registered backbone names (the hp.model selection surface)."""
+    from .resnet import RESNET_ARCHS
+
+    return sorted(ARCHS) + sorted(RESNET_ARCHS)
+
+
 def build_model(hp) -> XceptionClassifier:
-    """Model factory from a ModelParams (hp.model selects the preset)."""
-    arch = hp.model if hp.model in ARCHS else "xception"
+    """Model factory from a ModelParams (hp.model selects the backbone;
+    unknown names fall back to the published 'xception')."""
+    from .resnet import RESNET_ARCHS
+
+    if hp.model in ARCHS or hp.model in RESNET_ARCHS:
+        arch = hp.model
+    else:
+        from ..utils_log import log
+
+        log.warning(
+            f"Unknown model {hp.model!r}; falling back to 'xception'. "
+            f"Registered backbones: {available_models()}"
+        )
+        arch = "xception"
     return XceptionClassifier(
         arch=arch,
         num_classes=2,
@@ -250,5 +280,10 @@ def build_model(hp) -> XceptionClassifier:
 
 def feature_dim(hp) -> int:
     """Penultimate (backbone) feature width for the configured arch."""
-    arch = hp.model if hp.model in ARCHS else "xception"
-    return ARCHS[arch]["exit_convs"][-1]
+    if hp.model in ARCHS:
+        return ARCHS[hp.model]["exit_convs"][-1]
+    from .resnet import RESNET_ARCHS, resnet_feature_dim
+
+    if hp.model in RESNET_ARCHS:
+        return resnet_feature_dim(hp.model)
+    return ARCHS["xception"]["exit_convs"][-1]

@@ -456,3 +456,71 @@ class TestParquetPredictions:
         # results_log opt_thresh resolves via the parquet patient file
         res = utils.get_model_results(dirs[0], epoch=1, outcome="cohort")
         assert res["opt_thresh"] is not None
+
+
+class TestResNetFamily:
+    @pytest.mark.parametrize("arch,fdim", [("resnet_tiny", 64),
+                                           ("resnet18", 512)])
+    def test_forward_and_features(self, arch, fdim):
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.models.xception import build_model, feature_dim
+
+        hp = tiny_hp(model=arch)
+        model = build_model(hp)
+        assert feature_dim(hp) == fdim
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        logits = model.apply(variables, x, train=False)
+        assert logits.shape == (2, 2)
+        feats = model.apply(variables, x, train=False, method="features")
+        assert feats.shape == (2, fdim)
+
+    def test_uq_fast_path_works_on_resnet(self):
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.models.xception import build_model
+        from biscuit_tpu.train.uq import mc_dropout_full, mc_dropout_predict
+
+        hp = tiny_hp(model="resnet_tiny", uq=True)
+        model = build_model(hp)
+        x = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 255, (2, 32, 32, 3)),
+            jnp.float32,
+        )
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, train=False,
+        )
+        params, bs = variables["params"], variables["batch_stats"]
+        key = jax.random.PRNGKey(2)
+        fast = mc_dropout_predict(model, params, bs, x, key, k=16,
+                                  use_pallas=False)
+        full = mc_dropout_full(model, params, bs, x, key, k=16)
+        np.testing.assert_allclose(fast[0], full[0], rtol=1e-5, atol=1e-5)
+
+    def test_trains_end_to_end(self, synthetic_project):
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_RN", params=tiny_hp(model="resnet_tiny"),
+            val_k=[1], val_strategy="k-fold",
+        )
+        res = utils.get_model_results(dirs[0], epoch=1, outcome="cohort")
+        assert 0 <= res["tile_auc"] <= 1
+
+    def test_unknown_arch_raises(self):
+        from biscuit_tpu.models.xception import XceptionClassifier
+        import jax
+        import jax.numpy as jnp
+
+        model = XceptionClassifier(arch="nope")
+        with pytest.raises(ValueError):
+            model.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)},
+                       jnp.zeros((1, 32, 32, 3)), train=False)
