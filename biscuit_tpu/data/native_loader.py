@@ -78,24 +78,22 @@ def native_crc32c(data: bytes) -> int:
 def native_decode(raw: bytes) -> Optional[np.ndarray]:
     """Decode a PNG/JPEG tile to HWC uint8 RGB; None if undecodable."""
     lib = _load()
-    # Generous capacity guess: decode once to find dims via header...
-    # PNG/JPEG dims are cheap to over-allocate for tiles; use 4096^2 cap
-    # only if needed. Start with 1024x1024.
+    # Start with a 1-megapixel buffer (covers 299/512px tiles); grow 4x on
+    # rc=-4 (buffer too small) up to a 20k x 20k safety cap.
     cap = 1024 * 1024 * 3
-    out = np.empty(cap, np.uint8)
     w = ctypes.c_int(0)
     h = ctypes.c_int(0)
-    rc = lib.bn_decode_image(
-        raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap,
-        ctypes.byref(w), ctypes.byref(h),
-    )
-    if rc == -4:  # buffer too small; retry with a big one
-        cap = 16384 * 16384 * 3
+    while True:
         out = np.empty(cap, np.uint8)
         rc = lib.bn_decode_image(
             raw, len(raw), out.ctypes.data_as(ctypes.c_void_p), cap,
             ctypes.byref(w), ctypes.byref(h),
         )
+        if rc != -4:  # -4 = buffer too small: grow geometrically
+            break
+        cap *= 4
+        if cap > 20_000 * 20_000 * 3:
+            return None
     if rc != 0:
         return None
     return out[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()

@@ -234,6 +234,7 @@ class PrefetchBatcher:
         self.batcher = batcher
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error: BaseException | None = None
 
         def worker():
             try:
@@ -248,6 +249,8 @@ class PrefetchBatcher:
                             continue
                     if self._stop.is_set():
                         return
+            except BaseException as e:  # re-raised in the consumer
+                self._error = e
             finally:
                 # The sentinel MUST be delivered (a lost sentinel deadlocks
                 # the consumer); retry until it lands or close() is called.
@@ -265,6 +268,12 @@ class PrefetchBatcher:
         while True:
             item = self._q.get()
             if item is self._SENTINEL:
+                if self._error is not None:
+                    # A worker-thread failure must surface, not masquerade
+                    # as a clean (truncated) end of stream.
+                    raise RuntimeError(
+                        "prefetch worker failed"
+                    ) from self._error
                 return
             yield item
 

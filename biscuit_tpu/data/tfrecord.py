@@ -50,15 +50,14 @@ def crc32c(data: bytes) -> int:
         return native_crc32c(data)
     except Exception:
         pass
-    table = _crc_table()
-    crc = np.uint32(0xFFFFFFFF)
-    arr = np.frombuffer(data, dtype=np.uint8)
-    # Chunked table lookup; pure numpy, still O(n) python-free inner loop.
+    # Pure-Python per-byte table loop (~1 MB/s): correctness fallback only.
+    # CRC has a sequential dependency, so numpy cannot vectorize it; the
+    # fast path is the native SSE4.2/slicing-by-8 implementation, built via
+    # `make -C native`.
+    tab = _crc_table().tolist()
     crc_val = 0xFFFFFFFF
-    tab = table.tolist()
-    for b in arr.tolist():
+    for b in data:
         crc_val = tab[(crc_val ^ b) & 0xFF] ^ (crc_val >> 8)
-    del crc
     return crc_val ^ 0xFFFFFFFF
 
 

@@ -274,12 +274,19 @@ class Experiment:
         if steps is None:
             steps = range(7)
 
+        def _fold_complete(label, kfold):
+            """A fold counts as done only when its results_log.csv exists —
+            a crashed run leaves the dir without it, and the trainer's
+            incomplete-dir reuse + in-run checkpoints resume it."""
+            if not utils.model_exists(P, label, outcome=self.outcome,
+                                      kfold=kfold):
+                return False
+            d = utils.find_model(P, label, outcome=self.outcome, kfold=kfold)
+            return exists(join(d, "results_log.csv"))
+
         def _pending_folds(label):
             return [
-                k for k in range(1, 4)
-                if not utils.model_exists(
-                    P, label, outcome=self.outcome, kfold=k
-                )
+                k for k in range(1, 4) if not _fold_complete(label, k)
             ]
 
         def _cv_step(step_num, exps, uq):
@@ -343,9 +350,7 @@ class Experiment:
             exp_hp.epochs = [1]
             exp_hp.uq = True
             for exp in exp_to_run:
-                if utils.model_exists(
-                    P, f"EXP_{exp}_FULL", outcome=self.outcome
-                ):
+                if _fold_complete(f"EXP_{exp}_FULL", None):
                     print(f"Skipping Step 5 for experiment {exp}; "
                           "already done.")
                     continue

@@ -84,7 +84,6 @@ class XceptionBlock(nn.Module):
     features: Sequence[int]
     strides: int = 2
     relu_first: bool = True
-    grow_first: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -153,7 +152,7 @@ class XceptionBackbone(nn.Module):
 
         # Exit flow.
         x = XceptionBlock(
-            cfg["exit_block"], strides=2, grow_first=False,
+            cfg["exit_block"], strides=2,
             dtype=self.dtype, name="exit_block",
         )(x, train)
         for i, feat in enumerate(cfg["exit_convs"]):

@@ -117,7 +117,12 @@ def youden_threshold_jax(y_true, y_score, mask=None):
     fpr = fps / jnp.maximum(n, 1.0)
     j = jnp.where(valid, tpr - fpr, -jnp.inf)
     best = jnp.argmax(j)
-    return s[best], j[best]
+    # sklearn's curve starts at (fpr=0, tpr=0, threshold=+inf) with J=0;
+    # when no sample threshold beats J=0 the host picks that origin point
+    # (first occurrence). Mirror it: non-positive best J -> +inf threshold.
+    thr = jnp.where(j[best] > 0, s[best], jnp.inf)
+    jval = jnp.maximum(j[best], 0.0)
+    return thr, jval
 
 
 @jax.jit

@@ -502,7 +502,10 @@ def _train_single(
     step = 0
     early_stop_batch = None
     best_val_acc, checks_since_best = -1.0, 0
-    es_patience = 5
+    # Reference semantics: hp.early_stop_patience governs how many failed
+    # validation checks trigger the stop (0 -> our default of 5 checks).
+    es_patience = hp.early_stop_patience or 5
+    stopped = False
     results_rows = []
     step_log = []
     profiling = os.environ.get("BISCUIT_PROFILE") == "1"
@@ -529,7 +532,13 @@ def _train_single(
             step += 1
             key, sub = jax.random.split(key)
             if step <= restored_step:
-                continue  # fast-forward (RNG stream stays aligned)
+                # Fast-forward without consuming (or decoding) batches: the
+                # RNG stream stays aligned; the resumed run re-draws from
+                # the reshuffled tile stream rather than replaying the
+                # original order — a deliberate trade (skipping thousands
+                # of decodes) that only changes which i.i.d. shuffle the
+                # remaining steps see.
+                continue
             batch = next(train_iter)
             params, batch_stats, opt_state, metrics = train_step(
                 params, batch_stats, opt_state, batch["image"],
@@ -558,7 +567,7 @@ def _train_single(
                 and early_stop_batch is None
             ):
                 correct = total = 0
-                for _ in range(max(1, validation_steps // 8)):
+                for _ in range(max(1, validation_steps)):
                     vb = next(val_iter)
                     probs = np.asarray(
                         eval_step(params, batch_stats, vb["image"])
@@ -575,11 +584,28 @@ def _train_single(
                     checks_since_best += 1
                 if checks_since_best >= es_patience:
                     early_stop_batch = step
+                    stopped = True
                     log.info(f"Early stop at batch {step} "
                              f"(val acc {best_val_acc:.4f})")
+                    break  # halt training (reference early-stop semantics)
 
         # --- end of epoch: save predictions/results if requested --------------
-        if epoch in hp.epochs:
+        # Skip epochs fully covered by a restored checkpoint: their
+        # predictions were written by the original run and recomputing them
+        # with later-step params would corrupt the per-epoch record.
+        epoch_already_done = (
+            step <= restored_step and not stopped
+        )
+        if (epoch in hp.epochs or stopped) and not epoch_already_done:
+            # On an early stop mid-epoch, record under the next declared
+            # epoch so the on-disk filename contract (readers expect
+            # tile_predictions_val_epoch{E} for E in hp.epochs) holds.
+            later = [e for e in hp.epochs if e >= epoch]
+            record_epoch = (
+                epoch if epoch in hp.epochs
+                else (min(later) if later else max(hp.epochs))
+            )
+            epoch = record_epoch
             row = {"model_name": f"{outcome}-{exp_label}-HP0_epoch{epoch}"}
             if val_tfr:
                 df, probs, unc = predict_tiles(
@@ -631,6 +657,8 @@ def _train_single(
                     model_dir, params, batch_stats, hp, epoch, outcome,
                     exp_label, kfold,
                 )
+        if stopped:
+            break  # early stop halts the remaining epochs
 
     train_stream.close()
     if val_batcher is not None:

@@ -524,3 +524,30 @@ class TestResNetFamily:
             model.init({"params": jax.random.PRNGKey(0),
                         "dropout": jax.random.PRNGKey(1)},
                        jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+class TestEarlyStop:
+    def test_early_stop_halts_and_records(self, synthetic_project):
+        """Reference semantics: early_stop=True halts training when val
+        accuracy plateaus and records early_stop_batch (reused as the FULL
+        model's step budget via utils.find_cv_early_stop)."""
+        hp = tiny_hp(
+            epochs=[8],  # long budget the stop should cut short
+            early_stop=True, early_stop_patience=2,
+        )
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_ES", params=hp,
+            val_k=[1], val_strategy="k-fold",
+            validate_on_batch=2, validation_steps=1,
+        )
+        log_df = pd.read_csv(join(dirs[0], "results_log.csv"))
+        row = log_df.iloc[0]
+        assert "early_stop_batch" in log_df.columns
+        total_budget = 8 * 8  # epochs * steps_per_epoch (128 tiles / 16)
+        assert row["early_stop_batch"] < total_budget
+        # training halted: train_log's last step is the early-stop step
+        tl = pd.read_csv(join(dirs[0], "train_log.csv"))
+        assert tl["step"].max() <= row["early_stop_batch"] + 10
+        # predictions were still written under the declared epoch name
+        assert os.path.exists(join(dirs[0],
+                                   "tile_predictions_val_epoch8.csv"))
