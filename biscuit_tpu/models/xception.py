@@ -23,7 +23,7 @@ inference, so K=30 stochastic passes only need to re-run the head
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
