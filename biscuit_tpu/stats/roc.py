@@ -69,6 +69,10 @@ def roc_curve(y_true, y_score, drop_intermediate: bool = True):
     y_score = np.asarray(y_score, dtype=np.float64).ravel()
     if y_true.shape != y_score.shape:
         raise ValueError("y_true and y_score must have the same shape")
+    if y_true.size == 0:
+        # sklearn raises ValueError for 0-sample input; utils.auc converts
+        # this to NaN (/root/reference/biscuit/utils.py:497-504).
+        raise ValueError("Found array with 0 samples")
     pos = _validate_binary(y_true)
 
     # Stable descending sort by score.
@@ -168,14 +172,20 @@ def youden_threshold(fpr, tpr, thresholds) -> float:
     """Optimal threshold via Youden's J = tpr - fpr.
 
     First-occurrence tie-breaking, matching the reference's
-    ``max(zip(tpr, fpr), key=...)`` + ``list.index`` idiom. An all-NaN curve
-    selects index 0 (threshold +inf), which is also what the reference's
-    ``max`` yields on NaN keys.
+    ``max(zip(tpr, fpr), key=...)`` + ``list.index`` idiom. A single-class
+    (NaN) curve raises ValueError: in the reference, ``max`` over NaN keys
+    returns the first ``(nan, fpr)`` tuple and ``list(zip(...)).index``
+    then raises ValueError because NaN tuples never compare equal
+    (threshold.py:151-152 catches this -> 0.5 fallback; 219-222 converts it
+    to ROCFailedError) — verified by tests/test_reference_parity.py.
     """
     j = np.asarray(tpr, dtype=np.float64) - np.asarray(fpr, dtype=np.float64)
     if j.size == 0:
         raise ValueError("empty ROC curve")
-    return float(np.asarray(thresholds)[int(np.argmax(j))])
+    best = int(np.argmax(j))
+    if np.isnan(j[best]):
+        raise ValueError("Youden J undefined: single-class ROC curve")
+    return float(np.asarray(thresholds)[best])
 
 
 def auc_and_youden(y_true, y_score):

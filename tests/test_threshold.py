@@ -16,6 +16,7 @@ def make_preds(
     uq_signal=True,
     seed=0,
     n_patients=None,
+    no_hard_slides=False,
 ):
     """Synthetic tile predictions: slides alternate class; a fraction of
     tiles are 'hard' (wrong side of 0.5) and hard tiles get high uncertainty
@@ -27,7 +28,7 @@ def make_preds(
         patient = f"pt{s % (n_patients or n_slides)}"
         # 20% of slides are genuinely hard: tile majority lands on the wrong
         # side, producing slide-level errors for slide-threshold detection.
-        hard_slide = rng.random() < 0.2 and acc < 1.0
+        hard_slide = rng.random() < 0.2 and acc < 1.0 and not no_hard_slides
         slide_acc = 0.35 if hard_slide else acc
         for _ in range(tiles_per_slide):
             correct = rng.random() < slide_acc
@@ -155,9 +156,19 @@ class TestDetect:
         assert all(v is None for v in thresh.values())
         assert auc is None
 
-    def test_perfect_model_no_slide_threshold(self):
-        # 100% accuracy -> no incorrect slides -> slide_uq None.
+    def test_perfect_model_crashes_like_reference(self):
+        # 100% tile accuracy -> zero incorrect tiles -> single-class tile-UQ
+        # ROC. The reference raises an uncaught ValueError from its Youden
+        # idiom (threshold.py:423-424, nan tuples never match in list.index);
+        # parity requires we crash identically (test_reference_parity.py).
         df = make_preds(acc=1.0)
+        with pytest.raises(ValueError):
+            threshold.detect(df.copy())
+
+    def test_correct_slides_no_slide_threshold(self):
+        # Incorrect tiles exist, but after tile-UQ filtering every slide is
+        # correct -> slide_uq None (threshold.py:445-448).
+        df = make_preds(acc=0.9, no_hard_slides=True)
         thresh, auc = threshold.detect(df.copy())
         assert thresh["slide_uq"] is None
         assert auc == 1.0
@@ -229,8 +240,9 @@ class TestFromCV:
             threshold.from_cv([pd.DataFrame({"y_true": [1]})])
 
     def test_all_folds_undetectable_raises(self):
-        # Perfect models across all folds -> no slide threshold anywhere.
-        dfs = [make_preds(seed=s, acc=1.0) for s in range(2)]
+        # Folds with incorrect tiles but no incorrect slides are skipped;
+        # when every fold is skipped, from_cv raises (threshold.py:540-543).
+        dfs = [make_preds(seed=s, acc=0.9, no_hard_slides=True) for s in range(2)]
         with pytest.raises(errors.ThresholdError):
             threshold.from_cv(dfs)
 
