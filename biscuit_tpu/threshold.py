@@ -422,8 +422,15 @@ def _loess_smooth(x, y, frac=0.75):
 def plot_uncertainty(df, kind, threshold=None, title=None, seed=None):
     """3-panel uncertainty figure: KDE, scatter vs threshold, calibration.
 
-    Mirrors threshold.py:15-122. ``kind='tile'`` subsamples 1000 points; pass
-    ``seed`` for deterministic subsampling (reference is unseeded).
+    DELIBERATE FIGURE-PARITY PORT (SURVEY-quirk style disclosure): this
+    function intentionally reproduces the reference figure *pixel-for-pixel*
+    — panel layout, marker shapes/sizes, and styling constants ('#FC6D77'
+    error marks, '#EAEAF2' panel background) are copied from reference
+    threshold.py:15-122 because the published Figure-4 artifacts are the
+    parity target; the plotting code itself is restructured (explicit axes,
+    numpy LOESS replacement for skmisc). Behavioral deviations:
+    ``kind='tile'`` subsampling accepts a ``seed`` (reference is unseeded,
+    threshold.py:32-33), and the LOESS band uses :func:`_loess_smooth`.
     """
     import matplotlib.pyplot as plt
     import seaborn as sns

@@ -33,17 +33,31 @@ from ..data.normalize import make_normalizer, per_image_standardization
 
 
 def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
-                       use_pallas: Optional[bool] = None):
+                       use_pallas: Optional[bool] = None,
+                       fused_trunk: Optional[bool] = None):
     """(mean softmax, std softmax) over k dropout samples; trunk runs once.
 
     Args:
         x: preprocessed (normalized+standardized) f32 batch (B, H, W, 3).
+        fused_trunk: run the Xception middle flow through the fused Pallas
+            kernel (ops/fused_sepconv.py). Default: on for Xception archs on
+            a real TPU (set BISCUIT_NO_FUSED_MIDDLE=1 to disable).
     Returns:
         (probs_mean (B, C), probs_std (B, C)) — slideflow's 'y_pred' and
         'uncertainty' columns.
     """
     variables = {"params": params, "batch_stats": batch_stats}
-    feats = model.apply(variables, x, train=False, method="features")
+    if fused_trunk is None:
+        from ..models.xception import ARCHS
+        from ..ops.fused_sepconv import use_fused_middle
+
+        fused_trunk = use_fused_middle() and model.arch in ARCHS
+    if fused_trunk:
+        from ..ops.fused_sepconv import trunk_features_fused
+
+        feats = trunk_features_fused(model, params, batch_stats, x)
+    else:
+        feats = model.apply(variables, x, train=False, method="features")
     return mc_dropout_head(model, params, batch_stats, feats, key, k,
                            use_pallas=use_pallas)
 

@@ -528,12 +528,14 @@ class TestResNetFamily:
 
 class TestEarlyStop:
     def test_early_stop_halts_and_records(self, synthetic_project):
-        """Reference semantics: early_stop=True halts training when val
-        accuracy plateaus and records early_stop_batch (reused as the FULL
-        model's step budget via utils.find_cv_early_stop)."""
+        """slideflow EMA semantics: after ema_observations validation checks
+        the EMA initializes; training stops on the first EMA decline past the
+        early_stop_patience epoch floor, recording early_stop_batch (reused
+        as the FULL model's step budget via utils.find_cv_early_stop)."""
         hp = tiny_hp(
             epochs=[8],  # long budget the stop should cut short
-            early_stop=True, early_stop_patience=2,
+            early_stop=True, early_stop_patience=0,
+            ema_observations=3,  # tiny run: initialize the EMA quickly
         )
         dirs = synthetic_project.train(
             "cohort", exp_label="EXP_ES", params=hp,
@@ -551,3 +553,64 @@ class TestEarlyStop:
         # predictions were still written under the declared epoch name
         assert os.path.exists(join(dirs[0],
                                    "tile_predictions_val_epoch8.csv"))
+        # Round-trip (step-5 contract, experiment.py:358-370): the recorded
+        # batch feeds find_cv_early_stop, which becomes the FULL model's
+        # steps_per_epoch_override.
+        from biscuit_tpu import utils as bt_utils
+        stop = bt_utils.find_cv_early_stop(
+            synthetic_project, "EXP_ES", outcome="cohort", k=1
+        )
+        assert stop == round(row["early_stop_batch"])
+
+    def test_patience_floor_blocks_early_stop(self, synthetic_project):
+        """early_stop_patience is an EPOCH floor: with patience beyond the
+        training budget, early stop can never trigger."""
+        hp = tiny_hp(
+            epochs=[2], early_stop=True, early_stop_patience=99,
+            ema_observations=2,
+        )
+        dirs = synthetic_project.train(
+            "cohort", exp_label="EXP_ES_PAT", params=hp,
+            val_k=[1], val_strategy="k-fold",
+            validate_on_batch=2, validation_steps=1,
+        )
+        log_df = pd.read_csv(join(dirs[0], "results_log.csv"))
+        assert ("early_stop_batch" not in log_df.columns
+                or pd.isna(log_df.iloc[0].get("early_stop_batch")))
+
+
+class TestGroupPredictionsFrame:
+    def test_mixed_label_group_uses_uint8_mean(self):
+        """Group labels are uint8(mean(y_true)) exactly like
+        threshold.process_group_predictions (threshold.py:197-200) — NOT
+        max(). With 2-of-3 positive tiles the mean is 0.67 -> uint8 0."""
+        import numpy as np
+        from biscuit_tpu.train.trainer import group_predictions_frame
+
+        tile_df = pd.DataFrame({
+            "slide": ["s1", "s1", "s1", "s2", "s2"],
+            "y_true": [1, 1, 0, 0, 0],
+            "loc_x": [0] * 5, "loc_y": [0] * 5,
+        })
+        probs = np.array([[0.2, 0.8]] * 5)
+        g = group_predictions_frame(tile_df, probs, {}, "slide")
+        assert list(g["slide"]) == ["s1", "s2"]
+        # uint8(mean([1,1,0])) = uint8(0.667) = 0 — matches the reference's
+        # truncating cast, not a majority vote or max.
+        assert list(g["y_true1"]) == [0, 0]
+        assert g["y_true1"].dtype == np.uint8
+
+    def test_pure_group_labels_roundtrip(self):
+        import numpy as np
+        from biscuit_tpu.train.trainer import group_predictions_frame
+
+        tile_df = pd.DataFrame({
+            "slide": ["a", "a", "b", "b"],
+            "y_true": [1, 1, 0, 0],
+            "loc_x": [0] * 4, "loc_y": [0] * 4,
+        })
+        probs = np.array([[0.3, 0.7]] * 4)
+        g = group_predictions_frame(tile_df, probs, {"a": "p1", "b": "p2"},
+                                    "patient")
+        assert list(g["y_true1"]) == [1, 0]
+        assert list(g["percent_tiles_positive1"]) == [1.0, 1.0]
