@@ -196,6 +196,8 @@ class Experiment:
         """Train one experiment label (experiment.py:1028-1051)."""
         merged = dict(self.train_kwargs)
         merged.update(kwargs)
+        # Consumed by run()'s submesh dispatch, not by the trainer.
+        merged.pop("n_submeshes", None)
         return self.train_project.train(
             self.outcome,
             exp_label=label,
@@ -289,7 +291,32 @@ class Experiment:
                 k for k in range(1, 4) if not _fold_complete(label, k)
             ]
 
+        # Experiment-level parallelism (SURVEY.md §2.5): with
+        # train_kwargs={'n_submeshes': N}, independent (experiment, fold)
+        # trainings dispatch onto N disjoint device submeshes via
+        # parallel.scheduler.SubmeshScheduler. The ~1000-model ladder is
+        # embarrassingly parallel above the model level; sequential
+        # training idles all but one submesh. Default (N<=1) keeps the
+        # reference's sequential order.
+        n_submeshes = self.train_kwargs.get("n_submeshes", 1) or 1
+        scheduler = None
+        if n_submeshes > 1:
+            from .parallel.scheduler import SubmeshScheduler
+
+            scheduler = SubmeshScheduler(n_submeshes=n_submeshes)
+
+        def _dispatch(step_num, tasks):
+            """Run scheduler tasks; re-raise the first failure (matching
+            sequential semantics, where the first error aborts the step)."""
+            if not tasks:
+                return
+            results = scheduler.run(tasks)
+            for r in results:
+                if isinstance(r, Exception):
+                    raise r
+
         def _cv_step(step_num, exps, uq):
+            tasks = []
             for exp in exps:
                 label = f"EXP_{exp}_UQ" if uq else f"EXP_{exp}"
                 val_k = _pending_folds(label)
@@ -300,15 +327,22 @@ class Experiment:
                 if val_k != [1, 2, 3]:
                     print(f"[Step {step_num}] Some k-folds done; running "
                           f"{val_k} for {exp}")
-                self.train(
-                    hp=exp_hp,
+                kwargs = dict(
                     label=label,
                     filters={f"include_{exp}": ["include"]},
                     splits=f"splits_{exp}.json",
-                    val_k=val_k,
                     val_strategy="k-fold",
                     save_model=False,
                 )
+                if scheduler is None:
+                    self.train(hp=exp_hp, val_k=val_k, **kwargs)
+                else:
+                    for k in val_k:
+                        tasks.append(
+                            lambda mesh, hp=exp_hp.copy(), k=k, kw=kwargs:
+                            self.train(hp=hp, val_k=[k], mesh=mesh, **kw)
+                        )
+            _dispatch(step_num, tasks)
 
         if 1 in steps:
             print(bold("[Step 1] Running full-epoch experiments..."))
@@ -349,6 +383,7 @@ class Experiment:
             print(bold("[Step 5] Training across full datasets..."))
             exp_hp.epochs = [1]
             exp_hp.uq = True
+            full_tasks = []
             for exp in exp_to_run:
                 if _fold_complete(f"EXP_{exp}_FULL", None):
                     print(f"Skipping Step 5 for experiment {exp}; "
@@ -361,14 +396,21 @@ class Experiment:
                 except (MatchError, FileNotFoundError):
                     stop_batch = None
                 print(f"Using detected early stop batch {stop_batch}")
-                self.train(
-                    hp=exp_hp,
+                kwargs = dict(
                     label=f"EXP_{exp}_FULL",
                     filters={f"include_{exp}": ["include"]},
                     save_model=True,
                     val_strategy="none",
                     steps_per_epoch_override=stop_batch,
                 )
+                if scheduler is None:
+                    self.train(hp=exp_hp, **kwargs)
+                else:
+                    full_tasks.append(
+                        lambda mesh, hp=exp_hp.copy(), kw=kwargs:
+                        self.train(hp=hp, mesh=mesh, **kw)
+                    )
+            _dispatch(5, full_tasks)
 
         if 6 in steps:
             for val_P in self.eval_projects:

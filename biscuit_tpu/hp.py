@@ -53,6 +53,11 @@ class ModelParams:
     include_top: bool = False
     pooling: str = "avg"
     augment: str = "xyrjb"
+    # ImageNet-parity initialization: None = He-normal (documented
+    # deviation), 'imagenet' = staged Keras notop weights resolved via
+    # $BISCUIT_PRETRAINED_DIR, or an explicit weight-file path. The
+    # reference gets this implicitly from Keras (hp.py:3-24).
+    pretrained: Optional[str] = None
     # TPU-native additions (no reference counterpart):
     uq_samples: int = 30          # K MC-dropout passes (BASELINE.json configs[2])
     compute_dtype: str = "bfloat16"

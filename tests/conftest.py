@@ -24,6 +24,19 @@ if not _ON_TPU:
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: identical step programs (tiny-model
+# trainings recur across files and across suite runs) load from disk
+# instead of recompiling. Complements the in-process step-fn cache in
+# train/trainer.py.
+import jax as _jax  # noqa: E402
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("BISCUIT_JAX_CACHE",
+                   os.path.expanduser("~/.cache/biscuit_jax")),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def pytest_configure(config):
     config.addinivalue_line(

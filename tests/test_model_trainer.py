@@ -330,7 +330,16 @@ class TestTrainerEndToEnd:
         P, dirs = trained
         dfs = utils.df_from_cv(P, "EXP_T_UQ", outcome="cohort", k=3)
         assert len(dfs) == 3
-        th, auc = threshold.detect(dfs[0])
+        # A fold where the tiny model is perfect has zero incorrect tiles,
+        # and the reference's detect() then dies in the Youden list.index
+        # NaN idiom (threshold.py:424-425; parity pinned in
+        # test_reference_parity.py). Guarantee the plumbing is exercised by
+        # flipping a few predictions so 'incorrect' is non-empty.
+        df = dfs[0].copy()
+        flip = df.index[:3]
+        df.loc[flip, "y_pred"] = 1.0 - df.loc[flip, "y_pred"]
+        df.loc[flip, "uncertainty"] = df["uncertainty"].max() + 0.1
+        th, auc = threshold.detect(df)
         assert th["tile_pred"] is not None
 
     def test_learns_separable_classes(self, trained):

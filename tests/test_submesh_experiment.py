@@ -1,0 +1,120 @@
+"""Experiment-level parallelism: Experiment.run with
+train_kwargs={'n_submeshes': N} dispatches independent (experiment, fold)
+trainings onto disjoint device submeshes (SURVEY.md §2.5) and produces the
+same artifacts as the sequential path.
+
+The sequential baseline is pinned to one 4-device submesh so both runs use
+identical per-device batch layouts — any divergence is then a real
+concurrency bug, not a reduction-order artifact.
+"""
+
+import json
+import os
+import sys
+from os.path import join
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_experiment import build_project, tiny_hp  # noqa: E402
+
+from biscuit_tpu.experiment import Experiment  # noqa: E402
+
+LADDER = {"ZC": {"out1": 6, "out2": 6}}
+STEPS = [2, 3]
+
+
+def _run(tmp, name, seed_proj, train_kwargs):
+    P = build_project(tmp, name, 16, seed=seed_proj)
+    exp = Experiment(P, outcome="cohort", outcome1="LUAD", outcome2="LUSC",
+                     outdir=str(tmp / f"{name}_results"))
+    exp.train_kwargs = dict(train_kwargs)
+    exp.run(LADDER, steps=STEPS, hp=tiny_hp())
+    return exp
+
+
+def _model_map(P):
+    """{dir-suffix: full path} for every model dir (strips the run number,
+    which is allocation-order dependent under concurrency)."""
+    return {
+        d[6:]: join(P.models_dir, d) for d in os.listdir(P.models_dir)
+    }
+
+
+@pytest.fixture(scope="module")
+def both_runs(tmp_path_factory):
+    from biscuit_tpu.parallel.scheduler import partition_submeshes
+
+    tmp = tmp_path_factory.mktemp("submesh")
+    sub0 = partition_submeshes(2)[0]
+    seq = _run(tmp, "seq", 0, {"seed": 0, "mesh": sub0})
+    par = _run(tmp, "par", 0, {"seed": 0, "n_submeshes": 2})
+    return seq, par
+
+
+class TestSubmeshExperiment:
+    def test_same_model_set(self, both_runs):
+        seq, par = both_runs
+        seq_dirs = _model_map(seq.train_project)
+        par_dirs = _model_map(par.train_project)
+        assert set(seq_dirs) == set(par_dirs)
+        # steps [2, 3] on one experiment: 3 CV folds + 3 UQ folds
+        assert len(seq_dirs) == 6
+
+    def test_results_logs_match(self, both_runs):
+        seq, par = both_runs
+        seq_dirs = _model_map(seq.train_project)
+        par_dirs = _model_map(par.train_project)
+        for suffix, sdir in seq_dirs.items():
+            s = pd.read_csv(join(sdir, "results_log.csv"))
+            p = pd.read_csv(join(par_dirs[suffix], "results_log.csv"))
+            assert list(s.columns) == list(p.columns)
+            for col in s.columns:
+                for sv, pv in zip(s[col], p[col]):
+                    if isinstance(sv, str) and sv.startswith("{"):
+                        sj, pj = json.loads(sv), json.loads(pv)
+                        assert sj.keys() == pj.keys()
+                        for kk in sj:
+                            np.testing.assert_allclose(
+                                sj[kk], pj[kk], atol=1e-5,
+                                err_msg=f"{suffix} {col} {kk}")
+                    elif isinstance(sv, float):
+                        np.testing.assert_allclose(sv, pv, atol=1e-5)
+                    else:
+                        assert sv == pv, f"{suffix} {col}"
+
+    def test_predictions_match(self, both_runs):
+        seq, par = both_runs
+        seq_dirs = _model_map(seq.train_project)
+        par_dirs = _model_map(par.train_project)
+        compared = 0
+        for suffix, sdir in seq_dirs.items():
+            fname = "tile_predictions_val_epoch1.csv"
+            if not os.path.exists(join(sdir, fname)):
+                continue
+            s = pd.read_csv(join(sdir, fname)).sort_values(
+                ["slide", "loc_x", "loc_y"]).reset_index(drop=True)
+            p = pd.read_csv(join(par_dirs[suffix], fname)).sort_values(
+                ["slide", "loc_x", "loc_y"]).reset_index(drop=True)
+            # slide names differ only by the project-name prefix (seq/par)
+            assert [x[3:] for x in s["slide"]] == [x[3:] for x in p["slide"]]
+            for col in s.columns:
+                if s[col].dtype.kind == "f":
+                    np.testing.assert_allclose(
+                        s[col].to_numpy(), p[col].to_numpy(), atol=1e-4,
+                        err_msg=f"{suffix} {col}")
+            compared += 1
+        assert compared >= 3  # all UQ folds carry validation predictions
+
+    def test_splits_written_once_and_identical(self, both_runs):
+        seq, par = both_runs
+        s = json.load(open(join(seq.train_project.root, "splits_ZC.json")))
+        p = json.load(open(join(par.train_project.root, "splits_ZC.json")))
+        # slide names differ only by the project-name prefix
+        strip = lambda fold, pre: sorted(x[len(pre):] for x in fold)
+        for k in s["folds"]:
+            assert strip(s["folds"][k], "seq") == strip(p["folds"][k], "par")
+        assert not [f for f in os.listdir(par.train_project.root)
+                    if ".tmp." in f]
