@@ -52,8 +52,8 @@ def _log(msg):
 
 def build_uq_step(jax, jnp):
     from biscuit_tpu.data.normalize import (
+        inference_preprocess,
         make_normalizer,
-        per_image_standardization,
     )
     from biscuit_tpu.hp import nature2022_params
     from biscuit_tpu.models.xception import build_model
@@ -78,9 +78,7 @@ def build_uq_step(jax, jnp):
 
     @jax.jit
     def uq_step(params, batch_stats, images_u8, key):
-        x = images_u8.astype(jnp.float32)
-        x = normalizer(x)
-        x = per_image_standardization(x)
+        x = inference_preprocess(images_u8, normalizer)
         return mc_dropout_predict(
             model, params, batch_stats, x, key, k=30
         )
@@ -209,8 +207,9 @@ def main():
             {
                 "metric": "mc_dropout_tile_inferences_per_sec_per_chip",
                 "value": round(tiles_per_s, 2),
-                "unit": "tiles/s (K=30, 299px, bf16 Xception + fused "
-                        "Pallas middle flow + fused MC-dropout head)",
+                "unit": "tiles/s (K=30, 299px, fused Pallas preprocess + "
+                        "bf16 Xception w/ fused middle flow + fused "
+                        "MC-dropout head)",
                 "vs_baseline": round(
                     tiles_per_s / A100_TF_BASELINE_TILES_PER_S, 2
                 ),

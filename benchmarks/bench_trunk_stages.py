@@ -2,9 +2,12 @@
 
 Run on the v5e:  python benchmarks/bench_trunk_stages.py [BATCH]
 
-Times entry / middle(XLA) / middle(fused) / exit / K=30 head separately and
-the composed uq_step, to target the next kernel (VERDICT r1: trunk is the
-bottleneck; which stage?).
+Methodology: per-stage timing of individual jitted calls is corrupted by
+the per-call dispatch overhead of the remote (axon tunnel) setup (~tens of
+ms/call — measured head-only time was 20x its compute). Instead, time
+composed PREFIXES of the pipeline (pre, pre+entry, pre+entry+middle, ...)
+— each prefix is one jit program, so per-call overhead is identical and
+the prefix DIFFERENCES are clean per-stage compute times.
 """
 
 import os
@@ -58,64 +61,76 @@ def main(batch=256):
     jax.block_until_ready(imgs)
     imgs = [imgs[i] for i in range(n_bufs)]
 
-    C = ARCHS["xception"]["middle_width"]
-    mk2 = jax.jit(lambda k: jax.random.normal(
-        k, (n_bufs, batch, 19, 19, C), jnp.bfloat16))
-    mids = mk2(jax.device_put(jax.random.PRNGKey(8), dev))
-    jax.block_until_ready(mids)
-    mids = [mids[i] for i in range(n_bufs)]
-
     wts = jax.device_put(stack_middle_weights(
         params["backbone"], batch_stats["backbone"],
         ARCHS["xception"]["middle_repeats"]), dev)
 
-    pre = jax.jit(lambda u8: per_image_standardization(
-        normalizer(u8.astype(jnp.float32))))
-    entry = jax.jit(lambda v, x: model.apply(
-        v, x, train=False, method="trunk_entry"))
-    middle_xla = jax.jit(lambda v, h: model.apply(
-        v, h, train=False, method="trunk_middle"))
-    middle_fused = jax.jit(lambda h, w: fused_middle_flow(h, *w))
-    exitf = jax.jit(lambda v, h: model.apply(
-        v, h, train=False, method="trunk_exit"))
+    def pre(u8):
+        return per_image_standardization(normalizer(u8.astype(jnp.float32)))
 
-    def head_fn(p, bs, feats, key):
-        return mc_dropout_head(model, p, bs, feats, key, k=30)
+    def entry(x):
+        return model.apply(variables, x, train=False, method="trunk_entry")
 
-    head = jax.jit(head_fn)
+    def mid_xla(h):
+        return model.apply(variables, h, train=False, method="trunk_middle")
 
-    def timeit(name, fn, args_list, iters=9):
-        outs = [fn(*a) for a in args_list]
-        jax.block_until_ready(outs)
+    def mid_fused(h):
+        return fused_middle_flow(h, *wts)
+
+    def exitf(h):
+        return model.apply(variables, h, train=False, method="trunk_exit")
+
+    def head(feats, key):
+        return mc_dropout_head(model, params, batch_stats, feats, key, k=30)
+
+    key = jax.random.PRNGKey(3)
+    prefixes = {
+        "null": lambda u8: u8[0, 0, 0, :],
+        "pre": lambda u8: pre(u8),
+        "pre+entry": lambda u8: entry(pre(u8)),
+        "pre+entry+midX": lambda u8: mid_xla(entry(pre(u8))),
+        "pre+entry+midF": lambda u8: mid_fused(entry(pre(u8))),
+        "...midF+exit": lambda u8: exitf(mid_fused(entry(pre(u8)))),
+        "full (fused)": lambda u8: head(
+            exitf(mid_fused(entry(pre(u8)))), key),
+    }
+
+    def timeit(fn, iters=12):
+        f = jax.jit(fn)
+        out = None
+        for u in imgs:
+            out = f(u)
+        jax.block_until_ready(out)
+        # Keep only the newest output reference: the async queue drains
+        # while older buffers free, so B=1024 f32 activations don't
+        # accumulate 12x in HBM.
         t0 = time.perf_counter()
-        outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / iters
-        log(f"{name:18s} {dt*1e3:8.3f} ms")
-        return dt
+        for i in range(iters):
+            out = f(imgs[i % n_bufs])
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
 
-    log(f"--- stages at B={batch} ---")
-    xs = [pre(u) for u in imgs]
-    jax.block_until_ready(xs)
-    t_pre = timeit("preprocess", pre, [(u,) for u in imgs])
-    hs = [entry(variables, x) for x in xs]
-    jax.block_until_ready(hs)
-    t_entry = timeit("entry", entry, [(variables, x) for x in xs])
-    t_mid_x = timeit("middle XLA", middle_xla, [(variables, m) for m in mids])
-    t_mid_f = timeit("middle fused", middle_fused, [(m, wts) for m in mids])
-    ms = [middle_fused(m, wts) for m in mids]
-    t_exit = timeit("exit", exitf, [(variables, m) for m in ms])
-    feats = [exitf(variables, m) for m in ms]
-    jax.block_until_ready(feats)
-    keys = jax.random.split(jax.random.PRNGKey(3), len(feats))
-    t_head = timeit(
-        "head K=30", head,
-        [(params, batch_stats, f, k) for f, k in zip(feats, keys)],
-    )
-    total_fused = t_pre + t_entry + t_mid_f + t_exit + t_head
-    total_xla = t_pre + t_entry + t_mid_x + t_exit + t_head
-    log(f"sum fused: {total_fused*1e3:.1f} ms -> {batch/total_fused:.0f} t/s")
-    log(f"sum xla:   {total_xla*1e3:.1f} ms -> {batch/total_xla:.0f} t/s")
+    log(f"--- pipeline prefixes at B={batch} ---")
+    times = {}
+    for name, fn in prefixes.items():
+        times[name] = timeit(fn)
+        log(f"{name:18s} {times[name]*1e3:8.3f} ms")
+
+    log("--- stage deltas (dispatch overhead cancelled) ---")
+    deltas = {
+        "dispatch overhead": times["null"],
+        "preprocess": times["pre"] - times["null"],
+        "entry": times["pre+entry"] - times["pre"],
+        "middle XLA": times["pre+entry+midX"] - times["pre+entry"],
+        "middle fused": times["pre+entry+midF"] - times["pre+entry"],
+        "exit": times["...midF+exit"] - times["pre+entry+midF"],
+        "head K=30": times["full (fused)"] - times["...midF+exit"],
+    }
+    for name, dt in deltas.items():
+        log(f"{name:18s} {dt*1e3:8.3f} ms")
+    total = times["full (fused)"] - times["null"]
+    log(f"full fused pipeline: {total*1e3:.1f} ms -> {batch/total:.0f} t/s "
+        f"(ex-dispatch)")
 
 
 if __name__ == "__main__":

@@ -126,6 +126,22 @@ def per_image_standardization(x: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / jnp.maximum(std, 1.0 / jnp.sqrt(n))
 
 
+def inference_preprocess(images_u8, normalizer):
+    """uint8 tile batch -> model input for the INFERENCE paths (UQ/eval
+    prediction; reference results.py:251-255). On a real TPU with the
+    reinhard_fast normalizer this takes the fused single-HBM-round-trip
+    Pallas kernel (ops/fused_preprocess.py, bf16 out, ~1e-5 rel); elsewhere
+    the exact f32 XLA chain. Training keeps trainer.preprocess (f32)."""
+    from ..ops.fused_preprocess import fused_preprocess, use_fused_preprocess
+
+    if use_fused_preprocess() and type(normalizer) is ReinhardFastNormalizer:
+        return fused_preprocess(images_u8, normalizer)
+    x = images_u8.astype(jnp.float32)
+    if normalizer is not None:
+        x = normalizer(x)
+    return per_image_standardization(x)
+
+
 def make_normalizer(name):
     """Normalizer factory keyed on the hp.normalizer string."""
     if name is None or name == "none":

@@ -130,8 +130,8 @@ class XceptionBackbone(nn.Module):
         pooled features. Module names are identical across stages, so one
         'all' param tree serves every stage at apply time."""
         cfg = ARCHS[self.arch]
-        if stage in ("all", "entry"):
-            # Entry flow: two strided/plain convs.
+        if stage in ("all", "entry", "stem"):
+            # Entry flow: two strided/plain convs (the 'stem').
             x = nn.Conv(cfg["entry_convs"][0], (3, 3), strides=(2, 2),
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
@@ -142,6 +142,8 @@ class XceptionBackbone(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name="conv2_bn")(x)
             x = nn.relu(x)
+            if stage == "stem":
+                return x
 
             # Entry blocks (first block skips the leading ReLU, as in Keras).
             for i, feat in enumerate(cfg["entry_blocks"]):
@@ -162,11 +164,13 @@ class XceptionBackbone(nn.Module):
             if stage == "middle":
                 return x
 
-        # Exit flow.
-        x = XceptionBlock(
-            cfg["exit_block"], strides=2,
-            dtype=self.dtype, name="exit_block",
-        )(x, train)
+        # Exit flow ('exit_tail' enters after the strided exit block, for
+        # the fused-block composition in ops/fused_sepconv.py).
+        if stage != "exit_tail":
+            x = XceptionBlock(
+                cfg["exit_block"], strides=2,
+                dtype=self.dtype, name="exit_block",
+            )(x, train)
         for i, feat in enumerate(cfg["exit_convs"]):
             x = SeparableConv(feat, dtype=self.dtype, name=f"exit_sep{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
@@ -254,6 +258,16 @@ class XceptionClassifier(nn.Module):
         """Entry flow only: input tiles -> middle-flow input (Xception
         archs; used by ops/fused_sepconv.trunk_features_fused)."""
         return self.backbone(x, train, stage="entry")
+
+    def trunk_stem(self, x, train: bool = False):
+        """Entry convs only (conv1/conv2): tiles -> first entry-block
+        input (fused-block composition seam)."""
+        return self.backbone(x, train, stage="stem")
+
+    def trunk_exit_tail(self, x, train: bool = False):
+        """Exit sepconvs + pool only: exit-block output -> features
+        (fused-block composition seam)."""
+        return self.backbone(x, train, stage="exit_tail")
 
     def trunk_middle(self, x, train: bool = False):
         """Middle flow only (XLA path — the parity reference for the fused

@@ -177,27 +177,60 @@ def stack_middle_weights(backbone_params, backbone_stats, n_blocks: int,
     )
 
 
+def use_fused_blocks() -> bool:
+    """Strided-block fusion knob (ops/fused_block.py): OPT-IN via
+    BISCUIT_FUSED_BLOCKS=1. Measured on v5e at entry0 geometry the fused
+    block is VPU-issue-bound at ~the same wall as XLA's conv stack
+    (21.5 vs 19.4 ms/256 chained) — the depthwise taps' 9 FMA/element
+    dominate both paths, so the HBM savings don't convert to wall time
+    (see ops/fused_block.py docstring). Kept for parity testing and
+    future VPU-packing work."""
+    import os
+
+    return os.environ.get("BISCUIT_FUSED_BLOCKS") == "1"
+
+
 def trunk_features_fused(model, params, batch_stats, x,
-                         interpret: bool = False):
-    """Inference trunk features with the fused middle flow.
+                         interpret: bool = False,
+                         fuse_blocks: bool | None = None):
+    """Inference trunk features with the fused Pallas trunk.
 
     Drop-in replacement for ``model.apply(..., method='features')`` on
-    Xception archs at inference. Entry and exit flows run through the
-    regular Flax modules; the middle flow runs through the fused kernel.
+    Xception archs at inference. Composition: XLA stem (conv1/conv2) ->
+    fused strided entry blocks (ops/fused_block.py) -> fused middle flow
+    -> fused strided exit block -> XLA exit sepconvs + pool. With
+    fuse_blocks=False (or BISCUIT_NO_FUSED_BLOCKS=1) only the middle flow
+    is fused.
     """
     from ..models.xception import ARCHS
 
     if model.arch not in ARCHS:
         raise ValueError(f"fused middle flow requires an Xception arch, "
                          f"got {model.arch!r}")
+    if fuse_blocks is None:
+        fuse_blocks = use_fused_blocks()
     n_blocks = ARCHS[model.arch]["middle_repeats"]
     v = {"params": params, "batch_stats": batch_stats}
-    h = model.apply(v, x, train=False, method="trunk_entry")
-    wts = stack_middle_weights(
+    mid_wts = stack_middle_weights(
         params["backbone"], batch_stats["backbone"], n_blocks
     )
-    h = fused_middle_flow(h, *wts, interpret=interpret)
-    return model.apply(v, h, train=False, method="trunk_exit")
+    if not fuse_blocks:
+        h = model.apply(v, x, train=False, method="trunk_entry")
+        h = fused_middle_flow(h, *mid_wts, interpret=interpret)
+        return model.apply(v, h, train=False, method="trunk_exit")
+
+    from .fused_block import fused_strided_block, stack_block_weights
+
+    bb_p, bb_s = params["backbone"], batch_stats["backbone"]
+    h = model.apply(v, x, train=False, method="trunk_stem")
+    for i in range(len(ARCHS[model.arch]["entry_blocks"])):
+        wts = stack_block_weights(bb_p[f"entry{i}"], bb_s[f"entry{i}"])
+        h = fused_strided_block(h, wts, relu_first=(i != 0),
+                                interpret=interpret)
+    h = fused_middle_flow(h, *mid_wts, interpret=interpret)
+    wts = stack_block_weights(bb_p["exit_block"], bb_s["exit_block"])
+    h = fused_strided_block(h, wts, relu_first=True, interpret=interpret)
+    return model.apply(v, h, train=False, method="trunk_exit_tail")
 
 
 def use_fused_middle() -> bool:

@@ -195,20 +195,23 @@ def _cached_eval_step(hp: ModelParams, mesh, model, normalizer):
 
 
 def _cached_infer_step(hp: ModelParams, mesh, model, normalizer):
+    from ..data.normalize import inference_preprocess
     from .uq import mc_dropout_predict
 
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
     key = ("infer", _model_fingerprint(hp), bool(hp.uq), int(hp.uq_samples),
            os.environ.get("BISCUIT_NO_FUSED_MIDDLE", ""),
+           os.environ.get("BISCUIT_NO_FUSED_BLOCKS", ""),
+           os.environ.get("BISCUIT_NO_FUSED_PREPROCESS", ""),
            _mesh_fingerprint(mesh))
 
     def build():
         if hp.uq:
             return jax.jit(
                 lambda p, bs, imgs, key: mc_dropout_predict(
-                    model, p, bs, preprocess(imgs, normalizer), key,
-                    k=hp.uq_samples,
+                    model, p, bs, inference_preprocess(imgs, normalizer),
+                    key, k=hp.uq_samples,
                 ),
                 in_shardings=(r_shard, r_shard, b_shard, r_shard),
             )
