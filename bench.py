@@ -155,26 +155,29 @@ def bench_e2e(jax, jnp, params, batch_stats, uq_step, device):
             infinite=True, seed=0, tile_px=299,
         )
         prefetch = PrefetchBatcher(batcher, depth=4)
-        it = iter(prefetch)
-        keys = jax.random.split(jax.random.PRNGKey(2), E2E_BATCHES + 1)
-        # Warm the pipeline + reuse the compiled (BATCH//4)-shape program.
-        b = next(it)
-        out = uq_step(params, batch_stats,
-                      jax.device_put(b["image"], device), keys[-1])
-        jax.block_until_ready(out)
-
-        n = 0
-        t0 = time.perf_counter()
-        outs = []
-        for i in range(E2E_BATCHES):
+        try:
+            it = iter(prefetch)
+            keys = jax.random.split(jax.random.PRNGKey(2), E2E_BATCHES + 1)
+            # Warm the pipeline + reuse the compiled (BATCH//4) program.
             b = next(it)
-            images = jax.device_put(b["image"], device)
-            outs.append(uq_step(params, batch_stats, images, keys[i]))
-            n += int(np.asarray(b["mask"]).sum())
-        jax.block_until_ready(outs)
-        dt = time.perf_counter() - t0
-        prefetch.close()
-        batcher.close()
+            out = uq_step(params, batch_stats,
+                          jax.device_put(b["image"], device), keys[-1])
+            jax.block_until_ready(out)
+
+            n = 0
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(E2E_BATCHES):
+                b = next(it)
+                images = jax.device_put(b["image"], device)
+                outs.append(uq_step(params, batch_stats, images, keys[i]))
+                n += int(np.asarray(b["mask"]).sum())
+            jax.block_until_ready(outs)
+            dt = time.perf_counter() - t0
+        finally:
+            # Stop the decode worker before the tempdir is torn down.
+            prefetch.close()
+            batcher.close()
     return n / dt
 
 
@@ -214,7 +217,8 @@ def main():
                     tiles_per_s / A100_TF_BASELINE_TILES_PER_S, 2
                 ),
                 "e2e_tiles_per_s": (
-                    round(e2e_tiles_per_s, 2) if e2e_tiles_per_s else None
+                    round(e2e_tiles_per_s, 2)
+                    if e2e_tiles_per_s is not None else None
                 ),
                 "mfu_pct": round(100 * mfu, 1),
                 "flops_per_tile": fpt,

@@ -103,4 +103,10 @@ def peak_flops(device_kind: str) -> float:
     for key, val in PEAK_BF16.items():
         if device_kind.lower().startswith(key.lower()):
             return val
+    import warnings
+
+    warnings.warn(
+        f"Unknown TPU device kind {device_kind!r}; assuming the v5e bf16 "
+        f"peak (197 TFLOP/s) — reported MFU may be wrong for this chip."
+    )
     return 197e12

@@ -255,11 +255,9 @@ def _fused_call(x_gnb, dw0, pw0, s0, h0, dw1, pw1, s1, h1, rw, rs, rh,
 
 
 def _fold_bn(bn_params, bn_stats, eps=1e-5):
-    scale = jnp.asarray(bn_params["scale"], jnp.float32) / jnp.sqrt(
-        jnp.asarray(bn_stats["var"], jnp.float32) + eps
-    )
-    shift = (jnp.asarray(bn_params["bias"], jnp.float32)
-             - jnp.asarray(bn_stats["mean"], jnp.float32) * scale)
+    from .fused_sepconv import fold_bn
+
+    scale, shift = fold_bn(bn_params, bn_stats, eps)
     return scale[None, :], shift[None, :]
 
 

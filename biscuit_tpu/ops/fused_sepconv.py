@@ -147,13 +147,24 @@ def fused_middle_flow(x_nhwc, dw, pw, sc, sh, interpret: bool = False):
     return jnp.transpose(y, (2, 0, 1, 3))
 
 
+def fold_bn(bn_params, bn_stats, eps: float = 1e-5):
+    """Fold inference BatchNorm to per-channel (scale, shift):
+    scale = gamma / sqrt(var + eps), shift = beta - mean * scale
+    (flax.linen.BatchNorm, eps default 1e-5). Shared by the fused middle
+    flow and ops/fused_block.py so the precision-sensitive formula exists
+    once."""
+    scale = jnp.asarray(bn_params["scale"], jnp.float32) / jnp.sqrt(
+        jnp.asarray(bn_stats["var"], jnp.float32) + eps
+    )
+    shift = (jnp.asarray(bn_params["bias"], jnp.float32)
+             - jnp.asarray(bn_stats["mean"], jnp.float32) * scale)
+    return scale, shift
+
+
 def stack_middle_weights(backbone_params, backbone_stats, n_blocks: int,
                          eps: float = 1e-5):
-    """Stack the middle-flow parameters into the kernel's (U, ...) arrays.
-
-    BN is folded for inference: scale = gamma / sqrt(var + eps),
-    shift = beta - mean * scale (flax.linen.BatchNorm, eps default 1e-5).
-    """
+    """Stack the middle-flow parameters into the kernel's (U, ...) arrays
+    (BN folded for inference via fold_bn)."""
     dw, pw, sc, sh = [], [], [], []
     for i in range(n_blocks):
         blk = backbone_params[f"middle{i}"]
@@ -163,12 +174,9 @@ def stack_middle_weights(backbone_params, backbone_stats, n_blocks: int,
             dw.append(jnp.asarray(k).reshape(9, -1))
             p = blk[f"sep{j}"]["pointwise"]["kernel"]  # (1, 1, C, C)
             pw.append(jnp.asarray(p).reshape(p.shape[-2], p.shape[-1]))
-            bn, bst = blk[f"bn{j}"], st[f"bn{j}"]
-            scale = jnp.asarray(bn["scale"]) / jnp.sqrt(
-                jnp.asarray(bst["var"]) + eps
-            )
+            scale, shift = fold_bn(blk[f"bn{j}"], st[f"bn{j}"], eps)
             sc.append(scale)
-            sh.append(jnp.asarray(bn["bias"]) - jnp.asarray(bst["mean"]) * scale)
+            sh.append(shift)
     return (
         jnp.stack(dw).astype(jnp.float32),
         jnp.stack(pw).astype(jnp.bfloat16),
@@ -198,9 +206,9 @@ def trunk_features_fused(model, params, batch_stats, x,
     Drop-in replacement for ``model.apply(..., method='features')`` on
     Xception archs at inference. Composition: XLA stem (conv1/conv2) ->
     fused strided entry blocks (ops/fused_block.py) -> fused middle flow
-    -> fused strided exit block -> XLA exit sepconvs + pool. With
-    fuse_blocks=False (or BISCUIT_NO_FUSED_BLOCKS=1) only the middle flow
-    is fused.
+    -> fused strided exit block -> XLA exit sepconvs + pool. Block fusion
+    is OPT-IN (fuse_blocks=True or BISCUIT_FUSED_BLOCKS=1; see
+    use_fused_blocks for why); the default fuses only the middle flow.
     """
     from ..models.xception import ARCHS
 

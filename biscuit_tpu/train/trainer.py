@@ -202,7 +202,7 @@ def _cached_infer_step(hp: ModelParams, mesh, model, normalizer):
     r_shard = replicated(mesh)
     key = ("infer", _model_fingerprint(hp), bool(hp.uq), int(hp.uq_samples),
            os.environ.get("BISCUIT_NO_FUSED_MIDDLE", ""),
-           os.environ.get("BISCUIT_NO_FUSED_BLOCKS", ""),
+           os.environ.get("BISCUIT_FUSED_BLOCKS", ""),
            os.environ.get("BISCUIT_NO_FUSED_PREPROCESS", ""),
            _mesh_fingerprint(mesh))
 
