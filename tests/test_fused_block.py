@@ -146,3 +146,28 @@ class TestFusedTrunkComposition:
                             method="trunk_exit_tail")
         np.testing.assert_allclose(np.asarray(feats),
                                    np.asarray(ref_feats), atol=1e-5)
+
+
+@pytest.mark.tpu
+class TestFusedBlockTPU:
+    def test_entry0_geometry_on_chip(self):
+        """Compiled kernel at the real entry0 geometry vs the XLA block."""
+        block, variables, x = _jittered_block(
+            150, 150, 64, (128, 128), False, N=8)
+        ref = block.apply(variables, jnp.asarray(x, jnp.bfloat16), False)
+        wts = stack_block_weights(
+            variables["params"], variables["batch_stats"])
+        got = fused_strided_block(jnp.asarray(x, jnp.bfloat16), wts,
+                                  relu_first=False)
+        assert got.shape == ref.shape
+        assert _rel_err(got, ref) < 2e-2
+
+    def test_exit_geometry_on_chip(self):
+        block, variables, x = _jittered_block(
+            19, 19, 32, (32, 48), True, N=8)
+        ref = block.apply(variables, jnp.asarray(x, jnp.bfloat16), False)
+        wts = stack_block_weights(
+            variables["params"], variables["batch_stats"])
+        got = fused_strided_block(jnp.asarray(x, jnp.bfloat16), wts,
+                                  relu_first=True, hs=18)
+        assert _rel_err(got, ref) < 2e-2

@@ -65,3 +65,18 @@ class TestFusedPreprocess:
             np.asarray(inference_preprocess(jnp.asarray(x), norm)),
             np.asarray(_ref(x, norm)))
         assert type(make_normalizer("reinhard")) is ReinhardNormalizer
+
+
+@pytest.mark.tpu
+class TestFusedPreprocessTPU:
+    def test_on_chip_matches_xla_chain(self):
+        """Compiled (non-interpret) kernel vs the exact f32 chain on the
+        real chip, at the production tile size."""
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 255, (16, 299, 299, 3), dtype=np.uint8)
+        norm = make_normalizer("reinhard_fast")
+        ref = np.asarray(_ref(x, norm))
+        got = np.asarray(fused_preprocess(
+            jnp.asarray(x), norm, out_dtype=jnp.float32), np.float32)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-4
