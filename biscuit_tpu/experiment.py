@@ -198,6 +198,13 @@ class Experiment:
         merged.update(kwargs)
         # Consumed by run()'s submesh dispatch, not by the trainer.
         merged.pop("n_submeshes", None)
+        # train_kwargs may override the named defaults (passing e.g.
+        # {'validate_on_batch': 2} must not collide with the explicit
+        # keyword below).
+        save_predictions = merged.pop("save_predictions", save_predictions)
+        validate_on_batch = merged.pop("validate_on_batch",
+                                       validate_on_batch)
+        validation_steps = merged.pop("validation_steps", validation_steps)
         return self.train_project.train(
             self.outcome,
             exp_label=label,

@@ -82,7 +82,11 @@ def exp_env(tmp_path_factory):
         train_P, eval_projects=[eval_P], outcome="cohort",
         outcome1="LUAD", outcome2="LUSC", outdir=str(tmp / "results"),
     )
-    exp.train_kwargs = {"seed": 0}
+    # validate_on_batch/validation_steps via train_kwargs exercises the
+    # override path (they collide with Experiment.train's named defaults
+    # unless popped — regression for the published-config chip drive).
+    exp.train_kwargs = {"seed": 0, "validate_on_batch": 16,
+                        "validation_steps": 8}
     return exp
 
 
