@@ -125,7 +125,80 @@ def bench_native_loader(tmp="/tmp/bench_tfr"):
           f"({n/t:6.0f} tiles/s, {ok} ok)")
 
 
+def timeit_chained(make_step, x0, iters=8):
+    """Serialized in-jit chain: each iteration's input depends on the
+    previous output. Independent-dispatch timing through the axon tunnel
+    under-reports (see CLAUDE.md); this is the honest variant."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x):
+        def body(i, x):
+            y = make_step(x)
+            return x + jnp.mean(y).astype(x.dtype) * 1e-6
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    y = chain(x0)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    y = chain(x0)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_fused_preprocess():
+    import jax
+    import jax.numpy as jnp
+
+    from biscuit_tpu.data.normalize import (
+        make_normalizer,
+        per_image_standardization,
+    )
+    from biscuit_tpu.ops.fused_preprocess import fused_preprocess
+
+    B = 256
+    rng = np.random.default_rng(0)
+    # f32 chain carrier: a uint8 carrier would round the epsilon feedback
+    # to zero and let XLA elide the whole loop body.
+    x = jnp.asarray(
+        rng.integers(0, 255, (B, 299, 299, 3)).astype(np.float32))
+    norm = make_normalizer("reinhard_fast")
+
+    t_f = timeit_chained(
+        lambda v: fused_preprocess(v.astype(jnp.uint8), norm), x)
+
+    def xla_chain(v):
+        return per_image_standardization(norm(v))
+
+    t_x = timeit_chained(xla_chain, x)
+    print(f"fused_preprocess B={B}: {t_f*1e3:7.2f} ms "
+          f"(XLA chain {t_x*1e3:7.2f} ms, {t_x/t_f:4.1f}x)")
+
+
+def bench_fused_middle():
+    import jax
+    import jax.numpy as jnp
+
+    from biscuit_tpu.ops.fused_sepconv import fused_middle_flow
+
+    B, C, U = 256, 728, 24
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, 19, 19, C)), jnp.bfloat16)
+    dw = jnp.asarray(rng.standard_normal((U, 9, C)) * 0.1, jnp.float32)
+    pw = jnp.asarray(rng.standard_normal((U, C, C)) * 0.05, jnp.bfloat16)
+    sc = jnp.ones((U, C), jnp.float32)
+    sh = jnp.zeros((U, C), jnp.float32)
+    t = timeit_chained(lambda v: fused_middle_flow(v, dw, pw, sc, sh), x)
+    flops = 2 * B * 361 * C * U * (9 + C)
+    print(f"fused_middle_flow B={B} U={U}: {t*1e3:7.2f} ms "
+          f"({flops/t/1e12:5.1f} TFLOPs)")
+
+
+
 if __name__ == "__main__":
     bench_native_loader()
     bench_threshold_ops()
     bench_mcd_head()
+    bench_fused_preprocess()
+    bench_fused_middle()
