@@ -38,7 +38,9 @@ import time
 import numpy as np
 
 A100_TF_BASELINE_TILES_PER_S = 60.0
-BATCH = 1024  # batch sweep (r1): 256->3014, 512->3124, 1024->3209 tiles/s
+# batch sweep (r1): 256->3014, 512->3124, 1024->3209; (r2, fused
+# preprocess+middle): 1024->4083; 2048 OOMs HBM (entry-flow activations).
+BATCH = int(os.environ.get("BISCUIT_BENCH_BATCH", "1024"))
 WARMUP = 2
 ITERS = 6
 E2E_BATCHES = 8
