@@ -37,6 +37,17 @@ Numerics: dw accumulates in f32 on bf16 inputs (>= the XLA bf16 path),
 pw matmul bf16 with f32 accumulation (same as XLA), BN in f32 (>= the
 bf16-normalizing Flax path). Parity is asserted against an f32 NumPy
 reference in interpret mode and against the XLA bf16 path on-chip.
+
+Tuning record (r2, v5e, B=256, serialized in-jit chain = honest timing;
+see CLAUDE.md on why independent-dispatch timing lies): baseline 27.2 ms.
+Variants measured and REJECTED: bf16 tap accumulation 35.6 ms (Mosaic
+unpacks bf16 ALU ops), 3-way split accumulators for ILP 26.8 ms (no
+change — already issue-scheduled), row-chunked matmuls for MXU/VPU
+overlap 27.0 ms, row-at-a-time register-resident taps 31.6 ms (per-row
+M=152 matmuls underfeed the MXU). The depthwise taps run at ~1.2 T-FMA/s
+effective — near the VPU's ~1 vector-op/cycle issue rate — which puts
+this kernel at its practical floor; further gains need compiler-level
+packed-bf16 VPU FMAs.
 """
 
 from __future__ import annotations
