@@ -275,15 +275,86 @@ class WSI:
         return n
 
 
+def _write_pdf_report(project, report, tile_px, tile_um, tfr_paths,
+                      samples_per_slide=8):
+    """PDF tile-extraction report (slideflow's extract_tiles writes a PDF
+    report the reference relies on for QC review; configure.py:115-133).
+    Page 1: per-slide summary table; then one page per slide with sample
+    tile thumbnails read back from its tfrecord."""
+    import io as _io
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+    from PIL import Image
+
+    from .tfrecord import load_index, read_example_at
+
+    path = join(project.root,
+                f"tile_extraction_report_{tile_px}px_{tile_um}um.pdf")
+    with PdfPages(path) as pdf:
+        fig, ax = plt.subplots(figsize=(8.5, 11))
+        ax.axis("off")
+        ax.set_title(
+            f"Tile extraction report — {tile_px}px / {tile_um}um\n"
+            f"project: {project.name}", fontsize=12,
+        )
+        cells = [[r["slide"], str(r["tiles"]), r["grid"], r["source"]]
+                 for r in report]
+        table = ax.table(
+            cellText=cells, colLabels=["slide", "tiles", "grid", "source"],
+            loc="upper center", cellLoc="left",
+        )
+        table.auto_set_font_size(False)
+        table.set_fontsize(8)
+        pdf.savefig(fig)
+        plt.close(fig)
+
+        for r in report:
+            tfr = tfr_paths.get(r["slide"])
+            if not tfr or not os.path.exists(tfr):
+                continue
+            offsets = load_index(tfr)[:samples_per_slide]
+            imgs = []
+            with open(tfr, "rb") as f:
+                for off in offsets:
+                    ex = read_example_at(f, int(off))
+                    try:
+                        imgs.append(np.asarray(
+                            Image.open(_io.BytesIO(ex["image_raw"]))))
+                    except Exception:
+                        continue
+            if not imgs:
+                continue
+            cols = min(4, len(imgs))
+            rows_n = -(-len(imgs) // cols)
+            fig, axes = plt.subplots(
+                rows_n, cols, figsize=(8.5, 2.2 * rows_n + 0.6))
+            axes = np.atleast_1d(axes).ravel()
+            for ax_i, img in zip(axes, imgs):
+                ax_i.imshow(img)
+            for ax_i in axes:
+                ax_i.axis("off")
+            fig.suptitle(f"{r['slide']} — {r['tiles']} tiles "
+                         f"(grid {r['grid']})", fontsize=10)
+            pdf.savefig(fig)
+            plt.close(fig)
+    return path
+
+
 def extract_tiles_for_project(project, tile_px=299, tile_um=302, qc=None,
-                              img_format="png", source=None, **kwargs):
+                              img_format="png", source=None,
+                              report_pdf=True, **kwargs):
     """Extract tiles for every annotated slide with a registered slide file
     (sf.Project.extract_tiles contract, configure.py:115-133). Writes
-    per-slide tfrecords under `tfrecords/{tile_px}px_{tile_um}um/` and an
-    extraction report CSV."""
+    per-slide tfrecords under `tfrecords/{tile_px}px_{tile_um}um/`, an
+    extraction report CSV, and (like slideflow) a PDF report with sample
+    tile thumbnails per slide (report_pdf=False to skip)."""
     import pandas as pd
 
     report = []
+    tfr_paths = {}
     sources = [source] if source else project.sources
     for src in sources:
         try:
@@ -319,10 +390,18 @@ def extract_tiles_for_project(project, tile_px=299, tile_um=302, qc=None,
             n = wsi.extract_tiles(out_path, img_format=img_format)
             report.append({"slide": name, "tiles": n, "source": src,
                            "grid": f"{wsi.grid_x}x{wsi.grid_y}"})
+            tfr_paths[name] = out_path
             log.info(f"Extracted {n} tiles from {name}")
     if report:
         pd.DataFrame(report).to_csv(
             join(project.root, f"extraction_report_{tile_px}px.csv"),
             index=False,
         )
+        if report_pdf:
+            try:
+                pdf = _write_pdf_report(project, report, tile_px, tile_um,
+                                        tfr_paths)
+                log.info(f"Wrote extraction report {pdf}")
+            except Exception as e:  # report must never sink extraction
+                log.warning(f"PDF extraction report failed: {e}")
     return report

@@ -102,6 +102,10 @@ class TestWSI:
         assert len(report) == 3
         ds = P.dataset(tile_px=32, tile_um=32)
         assert len(ds.tfrecords()) == 3
+        # PDF extraction report with sample thumbnails (slideflow parity).
+        assert os.path.exists(
+            join(P.root, "tile_extraction_report_32px_32um.pdf"))
+        assert os.path.exists(join(P.root, "extraction_report_32px.csv"))
         # Idempotent: re-extraction skips existing tfrecords.
         report2 = P.extract_tiles(tile_px=32, tile_um=32, qc="otsu", mpp=1.0)
         assert len(report2) == 0
