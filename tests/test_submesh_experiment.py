@@ -118,3 +118,42 @@ class TestSubmeshExperiment:
             assert strip(s["folds"][k], "seq") == strip(p["folds"][k], "par")
         assert not [f for f in os.listdir(par.train_project.root)
                     if ".tmp." in f]
+
+
+class TestSubmeshFailureSemantics:
+    def test_failed_fold_raises_and_resumes(self, tmp_path, monkeypatch):
+        """A fold crashing under concurrent dispatch surfaces the error
+        (matching sequential semantics) while completed folds' artifacts
+        survive; a clean rerun resumes only the missing fold (§5.3
+        fold-level idempotence under the scheduler)."""
+        import biscuit_tpu.train.trainer as trainer_mod
+
+        P = build_project(tmp_path, "fl", 16, seed=0)
+        exp = Experiment(P, outcome="cohort", outcome1="LUAD",
+                         outcome2="LUSC", outdir=str(tmp_path / "res"))
+        exp.train_kwargs = {"seed": 0, "n_submeshes": 2}
+
+        real = trainer_mod._train_single
+
+        def flaky(*args, **kwargs):
+            if kwargs.get("kfold") == 2:
+                raise RuntimeError("injected fold-2 failure")
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(trainer_mod, "_train_single", flaky)
+        with pytest.raises(RuntimeError, match="injected"):
+            exp.run(LADDER, steps=[2], hp=tiny_hp())
+        monkeypatch.setattr(trainer_mod, "_train_single", real)
+
+        from biscuit_tpu import utils
+
+        done_before = [
+            k for k in (1, 2, 3)
+            if utils.model_exists(P, "EXP_ZC", outcome="cohort", kfold=k)
+        ]
+        assert 2 not in done_before and len(done_before) >= 1
+
+        exp.run(LADDER, steps=[2], hp=tiny_hp())
+        for k in (1, 2, 3):
+            m = utils.find_model(P, "EXP_ZC", outcome="cohort", kfold=k)
+            assert os.path.exists(join(m, "results_log.csv"))
