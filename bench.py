@@ -189,7 +189,7 @@ def main():
 
     from biscuit_tpu.models.flops import peak_flops, uq_flops_per_tile
 
-    hp, params, batch_stats, uq_step, device = build_uq_step(jax, jnp)
+    _hp, params, batch_stats, uq_step, device = build_uq_step(jax, jnp)
 
     _log("headline: device-resident UQ throughput...")
     tiles_per_s = bench_device_resident(jax, jnp, params, batch_stats,

@@ -105,9 +105,10 @@ def _shift_max3(v, axis):
         idx[axis] = slice(a, b)
         return v[tuple(idx)]
 
+    if v.shape[axis] == 1:
+        return v
     up = jnp.concatenate([slc(1, None), pad], axis=axis)
-    down = (pad if v.shape[axis] == 1
-            else jnp.concatenate([pad, slc(0, -1)], axis=axis))
+    down = jnp.concatenate([pad, slc(0, -1)], axis=axis)
     return jnp.maximum(jnp.maximum(up, v), down)
 
 
@@ -210,13 +211,10 @@ def _fused_call(x_gnb, dw0, pw0, s0, h0, dw1, pw1, s1, h1, rw, rs, rh,
     S = -(-H // hs)
     n3 = -(-H // 3)       # 3-row halo block positions along H
     h3 = hs // 3
-    L = hs + 6
     kern = functools.partial(
         _kernel, H=H, W=W, NB=nb, Cin=Cin, F0=F0, F1=F1, hs=hs,
         relu_first=relu_first,
     )
-    wspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-
     def mid_map(g, s):
         return (g, s, 0, 0, 0)
 
@@ -236,7 +234,7 @@ def _fused_call(x_gnb, dw0, pw0, s0, h0, dw1, pw1, s1, h1, rw, rs, rh,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, W, nb, Cin), dn_map,
                          memory_space=pltpu.VMEM),
-        ] + [wspec() for _ in range(11)],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(11)],
         out_specs=pl.BlockSpec((hs // 2, W2, nb, F1),
                                lambda g, s: (s, 0, g, 0),
                                memory_space=pltpu.VMEM),
