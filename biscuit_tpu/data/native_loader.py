@@ -158,3 +158,120 @@ def native_read_decode_batch(
 
 def version() -> str:
     return _load().bn_version().decode()
+
+
+# ---------------------------------------------------------------------------
+# Tiled-TIFF whole-slide region reader (native/biscuit_native.cpp, libtiff)
+# ---------------------------------------------------------------------------
+
+
+def _load_tiff_api(lib):
+    if getattr(lib, "_tiff_api_ready", False):
+        return
+    lib.bn_tiff_open.restype = ctypes.c_void_p
+    lib.bn_tiff_open.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bn_tiff_read_region.restype = ctypes.c_int
+    lib.bn_tiff_read_region.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.bn_tiff_close.restype = None
+    lib.bn_tiff_close.argtypes = [ctypes.c_void_p]
+    lib.bn_tiff_write_tiled.restype = ctypes.c_int
+    lib.bn_tiff_write_tiled.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int,
+    ]
+    lib._tiff_api_ready = True
+
+
+class TiledTiff:
+    """Bounded-memory region reader for tiled TIFF/SVS slides.
+
+    Decodes only the TIFF tiles intersecting each requested region, so
+    reading a 100k x 100k slide never materializes the full image (PIL
+    would). Unsupported containers (striped TIFF, Aperio JPEG2000) raise
+    OSError at open — callers fall back to PIL. Not thread-safe per
+    handle (libtiff TIFF* is stateful)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        _load_tiff_api(lib)
+        w = ctypes.c_int64()
+        h = ctypes.c_int64()
+        tw = ctypes.c_int32()
+        th = ctypes.c_int32()
+        sup = ctypes.c_int32()
+        self._h = lib.bn_tiff_open(
+            path.encode(), ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(tw), ctypes.byref(th), ctypes.byref(sup))
+        if not self._h or not sup.value:
+            self._h = None
+            raise OSError(
+                f"not a supported tiled TIFF (striped or JPEG2000?): {path}")
+        self._lib = lib
+        self.width = int(w.value)
+        self.height = int(h.value)
+        self.tile_size = (int(tw.value), int(th.value))
+        self.path = path
+
+    def read_region(self, x: int, y: int, w: int, h: int) -> np.ndarray:
+        """(h, w, 3) uint8 RGB at base resolution; out-of-image is zero."""
+        out = np.empty((h, w, 3), np.uint8)
+        rc = self._lib.bn_tiff_read_region(
+            self._h, int(x), int(y), int(w), int(h),
+            out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise OSError(f"tiff read_region failed (rc={rc}): {self.path}")
+        return out
+
+    def thumbnail(self, max_px: int = 2048) -> np.ndarray:
+        """Downsampled full-slide RGB built band-by-band (for QC masks);
+        peak memory is one band, not the slide."""
+        ds = max(1, int(np.ceil(max(self.width, self.height) / max_px)))
+        ow = max(1, self.width // ds)
+        oh = max(1, self.height // ds)
+        # Bands must start on multiples of ds so pooled rows land exactly.
+        band_rows = -(-max(self.tile_size[1], ds) // ds) * ds
+        thumb = np.empty((oh, ow, 3), np.uint8)
+        for y0 in range(0, oh * ds, band_rows):
+            band = self.read_region(0, y0, ow * ds, min(band_rows,
+                                                        oh * ds - y0))
+            sub = band[: (band.shape[0] // ds) * ds]
+            if not sub.shape[0]:
+                continue
+            pooled = sub.reshape(
+                sub.shape[0] // ds, ds, ow, ds, 3).mean(axis=(1, 3))
+            r0 = y0 // ds
+            thumb[r0:r0 + pooled.shape[0]] = pooled.astype(np.uint8)
+        return thumb
+
+    def close(self):
+        if self._h is not None:
+            self._lib.bn_tiff_close(self._h)
+            self._h = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def write_tiled_tiff(path: str, rgb: np.ndarray, tile: int = 64,
+                     jpeg: bool = False) -> None:
+    """Write a tiled RGB TIFF (test fixture for the region reader; the
+    .svs-style layout when jpeg=True)."""
+    lib = _load()
+    _load_tiff_api(lib)
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    rc = lib.bn_tiff_write_tiled(
+        path.encode(), w, h, tile, tile,
+        rgb.ctypes.data_as(ctypes.c_void_p), int(jpeg))
+    if rc != 0:
+        raise OSError(f"tiff write failed (rc={rc}): {path}")

@@ -133,7 +133,20 @@ class WSI:
         self.tile_px = tile_px
         self.tile_um = tile_um
         self.roi_method = roi_method
-        self._img = Image.open(path)
+        self._img = Image.open(path)  # lazy: metadata only unless decoded
+        # Tiled-TIFF containers (.svs, pyramidal TIFF) route pixel access
+        # through the native libtiff region reader so extraction memory is
+        # bounded by a tile, not the slide (PIL decodes the whole image on
+        # first pixel access — multi-GB for real WSIs). Striped/JPEG2000
+        # files fall back to PIL.
+        self._tiled = None
+        if splitext(path)[1].lower() in (".svs", ".tif", ".tiff"):
+            try:
+                from .native_loader import TiledTiff
+
+                self._tiled = TiledTiff(path)
+            except (OSError, ImportError):
+                self._tiled = None
         self.width, self.height = self._img.size
         self.mpp = mpp if mpp is not None else self._detect_mpp()
         # Extraction size at level 0 and stride.
@@ -170,12 +183,20 @@ class WSI:
         return DEFAULT_MPP
 
     def _compute_tissue_mask(self):
-        thumb_scale = max(1, max(self.width, self.height) // 1024)
-        thumb = self._img.resize(
-            (max(1, self.width // thumb_scale),
-             max(1, self.height // thumb_scale))
-        ).convert("L")
-        gray = np.asarray(thumb)
+        if self._tiled is not None:
+            ds = max(1, int(np.ceil(max(self.width, self.height) / 1024)))
+            rgb = self._tiled.thumbnail(max_px=1024).astype(np.float32)
+            # ITU-R 601 luma, matching PIL convert("L").
+            gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]).astype(np.uint8)
+            thumb_scale = ds
+        else:
+            thumb_scale = max(1, max(self.width, self.height) // 1024)
+            thumb = self._img.resize(
+                (max(1, self.width // thumb_scale),
+                 max(1, self.height // thumb_scale))
+            ).convert("L")
+            gray = np.asarray(thumb)
         t = otsu_threshold(gray)
         # Tissue is darker than background on brightfield H&E.
         self._tissue_mask = gray < t
@@ -214,9 +235,14 @@ class WSI:
         """Extract one tile at level-0 (x, y), resized to tile_px."""
         from PIL import Image
 
-        region = self._img.crop(
-            (x, y, x + self.extract_px, y + self.extract_px)
-        ).convert("RGB")
+        if self._tiled is not None:
+            region = Image.fromarray(
+                self._tiled.read_region(x, y, self.extract_px,
+                                        self.extract_px))
+        else:
+            region = self._img.crop(
+                (x, y, x + self.extract_px, y + self.extract_px)
+            ).convert("RGB")
         if region.size != (self.tile_px, self.tile_px):
             region = region.resize(
                 (self.tile_px, self.tile_px), Image.BILINEAR

@@ -22,6 +22,7 @@
 #include <thread>
 #include <vector>
 #include <atomic>
+#include <algorithm>
 
 #include <png.h>
 #include <jpeglib.h>
@@ -470,6 +471,155 @@ extern "C" long bn_read_decode_batch(
     for (auto& th : pool) th.join();
   }
   return ok.load();
+}
+
+
+// ---------------------------------------------------------------------------
+// Tiled-TIFF whole-slide region reader (libtiff)
+//
+// Real WSI containers (.svs, generic pyramidal TIFF) are tiled TIFFs with
+// JPEG-compressed tiles; loading them whole through PIL materializes a
+// multi-gigapixel RGB image in host RAM. This reader decodes only the
+// tiles intersecting a requested region, so extraction memory is bounded
+// by the region size. Aperio's JPEG2000 variants (compression 33003/5) are
+// not supported by stock libtiff and report as unsupported; the Python
+// layer then falls back to PIL. Handles are not thread-safe (libtiff's
+// TIFF* is stateful); use one handle per thread.
+// ---------------------------------------------------------------------------
+
+#include <tiffio.h>
+
+struct BnTiff {
+  TIFF* tif;
+  uint32_t width, height;
+  uint32_t tile_w, tile_h;
+};
+
+extern "C" void* bn_tiff_open(const char* path, int64_t* w, int64_t* h,
+                              int32_t* tile_w, int32_t* tile_h,
+                              int32_t* supported) {
+  TIFFSetErrorHandler(nullptr);   // silence stderr chatter
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  *supported = 0;
+  if (!tif) return nullptr;
+  uint32_t iw = 0, ih = 0, tw = 0, th = 0;
+  uint16_t compression = COMPRESSION_NONE;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &iw);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &ih);
+  TIFFGetField(tif, TIFFTAG_COMPRESSION, &compression);
+  bool tiled = TIFFIsTiled(tif);
+  if (tiled) {
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+  }
+  // 33003/33005: Aperio JPEG2000 — stock libtiff cannot decode.
+  bool ok = tiled && iw && ih && tw && th &&
+            compression != 33003 && compression != 33005;
+  *w = iw;
+  *h = ih;
+  *tile_w = tw;
+  *tile_h = th;
+  if (!ok) {
+    TIFFClose(tif);
+    return nullptr;
+  }
+  *supported = 1;
+  auto* handle = new BnTiff{tif, iw, ih, tw, th};
+  return handle;
+}
+
+extern "C" int bn_tiff_read_region(void* vh, int64_t x0, int64_t y0,
+                                   int64_t rw, int64_t rh, uint8_t* out) {
+  // out: (rh, rw, 3) RGB row-major, top-down. Out-of-image area is zero.
+  auto* h = static_cast<BnTiff*>(vh);
+  if (!h || rw <= 0 || rh <= 0) return -1;
+  memset(out, 0, (size_t)rw * rh * 3);
+  const int64_t tw = h->tile_w, th = h->tile_h;
+  std::vector<uint32_t> tile((size_t)tw * th);
+  int64_t tx0 = x0 < 0 ? (x0 - tw + 1) / tw : x0 / tw;
+  int64_t ty0 = y0 < 0 ? (y0 - th + 1) / th : y0 / th;
+  for (int64_t ty = ty0; ty * th < y0 + rh; ++ty) {
+    if (ty < 0 || ty * th >= (int64_t)h->height) continue;
+    for (int64_t tx = tx0; tx * tw < x0 + rw; ++tx) {
+      if (tx < 0 || tx * tw >= (int64_t)h->width) continue;
+      // TIFFReadRGBATile fills bottom-up ABGR; rows are flipped below.
+      if (!TIFFReadRGBATile(h->tif, (uint32_t)(tx * tw),
+                            (uint32_t)(ty * th), tile.data()))
+        return -2;
+      int64_t gx0 = tx * tw, gy0 = ty * th;
+      int64_t cx0 = std::max(gx0, x0), cx1 = std::min(gx0 + tw, x0 + rw);
+      int64_t cy0 = std::max(gy0, y0), cy1 = std::min(gy0 + th, y0 + rh);
+      cx1 = std::min(cx1, (int64_t)h->width);
+      cy1 = std::min(cy1, (int64_t)h->height);
+      for (int64_t gy = cy0; gy < cy1; ++gy) {
+        // raster row for image row gy within this tile (bottom-up).
+        int64_t in_row = th - 1 - (gy - gy0);
+        const uint32_t* src = tile.data() + in_row * tw + (cx0 - gx0);
+        uint8_t* dst = out + (((gy - y0) * rw) + (cx0 - x0)) * 3;
+        for (int64_t gx = cx0; gx < cx1; ++gx, ++src, dst += 3) {
+          uint32_t p = *src;
+          dst[0] = TIFFGetR(p);
+          dst[1] = TIFFGetG(p);
+          dst[2] = TIFFGetB(p);
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+extern "C" void bn_tiff_close(void* vh) {
+  auto* h = static_cast<BnTiff*>(vh);
+  if (h) {
+    TIFFClose(h->tif);
+    delete h;
+  }
+}
+
+// Test fixture writer: tiled RGB TIFF (optionally JPEG-compressed, the
+// .svs-style layout). Only used by the test suite to exercise the reader
+// against PIL as an independent decoder.
+extern "C" int bn_tiff_write_tiled(const char* path, int64_t w, int64_t h,
+                                   int32_t tw, int32_t th,
+                                   const uint8_t* rgb, int use_jpeg) {
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
+  TIFFSetField(tif, TIFFTAG_IMAGELENGTH, (uint32_t)h);
+  TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+  TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+  TIFFSetField(tif, TIFFTAG_ORIENTATION, ORIENTATION_TOPLEFT);
+  TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+  TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, use_jpeg ? PHOTOMETRIC_YCBCR
+                                                  : PHOTOMETRIC_RGB);
+  TIFFSetField(tif, TIFFTAG_COMPRESSION,
+               use_jpeg ? COMPRESSION_JPEG : COMPRESSION_NONE);
+  if (use_jpeg) {
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, 90);
+    // Input buffers are RGB; let the codec do the YCbCr conversion.
+    TIFFSetField(tif, TIFFTAG_JPEGCOLORMODE, JPEGCOLORMODE_RGB);
+  }
+  TIFFSetField(tif, TIFFTAG_TILEWIDTH, (uint32_t)tw);
+  TIFFSetField(tif, TIFFTAG_TILELENGTH, (uint32_t)th);
+  std::vector<uint8_t> tilebuf((size_t)tw * th * 3);
+  for (int64_t ty = 0; ty < h; ty += th) {
+    for (int64_t tx = 0; tx < w; tx += tw) {
+      memset(tilebuf.data(), 0, tilebuf.size());
+      for (int64_t y = ty; y < std::min<int64_t>(ty + th, h); ++y) {
+        const uint8_t* src = rgb + (y * w + tx) * 3;
+        int64_t ncols = std::min<int64_t>(tw, w - tx);
+        memcpy(tilebuf.data() + (y - ty) * tw * 3, src, (size_t)ncols * 3);
+      }
+      if (TIFFWriteTile(tif, tilebuf.data(), (uint32_t)tx, (uint32_t)ty,
+                        0, 0) < 0) {
+        TIFFClose(tif);
+        return -2;
+      }
+    }
+  }
+  TIFFClose(tif);
+  return 0;
 }
 
 extern "C" const char* bn_version() { return "biscuit_native 0.1.0"; }

@@ -2,6 +2,7 @@
 indexing parity, and the threaded batch read+decode pipeline."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -135,3 +136,89 @@ class TestNative:
             np.testing.assert_array_equal(nb["label"], pb["label"])
             np.testing.assert_array_equal(nb["loc"], pb["loc"])
             np.testing.assert_array_equal(nb["mask"], pb["mask"])
+
+
+class TestTiledTiff:
+    """Native libtiff region reader (bounded-memory WSI ingestion; the
+    reference stack reads .svs via slideflow's libvips/openslide C path)."""
+
+    def _img(self, h=200, w=300, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+    def test_region_reads_bitwise_vs_pil(self, tmp_path):
+        from PIL import Image
+
+        from biscuit_tpu.data.native_loader import TiledTiff, write_tiled_tiff
+
+        img = self._img()
+        p = str(tmp_path / "t.tiff")
+        write_tiled_tiff(p, img, tile=64)
+        # PIL decodes the same file independently — cross-decoder check.
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(p).convert("RGB")), img)
+        t = TiledTiff(p)
+        assert (t.width, t.height) == (300, 200)
+        for (x, y, w, h) in [(0, 0, 64, 64), (50, 40, 128, 100),
+                             (63, 63, 2, 2), (0, 0, 300, 200)]:
+            np.testing.assert_array_equal(
+                t.read_region(x, y, w, h), img[y:y + h, x:x + w])
+        # Out-of-image area reads as zeros.
+        edge = t.read_region(250, 150, 100, 100)
+        np.testing.assert_array_equal(edge[:50, :50], img[150:, 250:])
+        assert (edge[50:] == 0).all() and (edge[:, 50:] == 0).all()
+        t.close()
+
+    def test_jpeg_tiles_close(self, tmp_path):
+        from biscuit_tpu.data.native_loader import TiledTiff, write_tiled_tiff
+
+        # Smooth gradient image: JPEG-representable content (random noise
+        # is JPEG's worst case and would diverge wildly at any quality).
+        yy, xx = np.mgrid[0:200, 0:300]
+        img = np.stack([(xx * 255 // 300), (yy * 255 // 200),
+                        ((xx + yy) * 255 // 500)], -1).astype(np.uint8)
+        p = str(tmp_path / "j.svs")
+        write_tiled_tiff(p, img, tile=64, jpeg=True)
+        t = TiledTiff(p)
+        got = t.read_region(0, 0, 300, 200).astype(np.int16)
+        assert np.abs(got - img.astype(np.int16)).mean() < 4  # lossy JPEG
+        t.close()
+
+    def test_striped_tiff_rejected(self, tmp_path):
+        from PIL import Image
+
+        from biscuit_tpu.data.native_loader import TiledTiff
+
+        p = str(tmp_path / "striped.tiff")
+        Image.fromarray(self._img()).save(p)  # PIL writes striped TIFF
+        with pytest.raises(OSError, match="tiled"):
+            TiledTiff(p)
+
+    def test_wsi_uses_native_path_and_extracts(self, tmp_path):
+        from biscuit_tpu.data.native_loader import write_tiled_tiff
+        from biscuit_tpu.data.slide import WSI
+
+        img = self._img(h=256, w=256, seed=2)
+        img[:128] = 30   # dark "tissue" half so Otsu QC keeps tiles
+        p = str(tmp_path / "wsi.tiff")
+        write_tiled_tiff(p, img, tile=64)
+        wsi = WSI(p, tile_px=32, tile_um=32, mpp=1.0, qc="otsu")
+        assert wsi._tiled is not None
+        tile = wsi.read_tile(0, 0)
+        np.testing.assert_array_equal(tile, img[:32, :32])
+        out = str(tmp_path / "wsi.tfrecords")
+        n = wsi.extract_tiles(out)
+        assert n > 0 and os.path.exists(out)
+
+    def test_thumbnail_bounded(self, tmp_path):
+        from biscuit_tpu.data.native_loader import TiledTiff, write_tiled_tiff
+
+        img = self._img(h=300, w=500, seed=3)
+        p = str(tmp_path / "th.tiff")
+        write_tiled_tiff(p, img, tile=64)
+        t = TiledTiff(p)
+        th = t.thumbnail(max_px=100)
+        assert max(th.shape[:2]) <= 100
+        # Mean-pooled thumbnail tracks the source's global statistics.
+        assert abs(float(th.mean()) - float(img.mean())) < 4
+        t.close()
