@@ -170,9 +170,14 @@ def _load_tiff_api(lib):
         return
     lib.bn_tiff_open.restype = ctypes.c_void_p
     lib.bn_tiff_open.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.bn_tiff_levels.restype = ctypes.c_int32
+    lib.bn_tiff_levels.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
     ]
     lib.bn_tiff_read_region.restype = ctypes.c_int
     lib.bn_tiff_read_region.argtypes = [
@@ -184,7 +189,7 @@ def _load_tiff_api(lib):
     lib.bn_tiff_write_tiled.restype = ctypes.c_int
     lib.bn_tiff_write_tiled.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
     ]
     lib._tiff_api_ready = True
 
@@ -198,7 +203,7 @@ class TiledTiff:
     OSError at open — callers fall back to PIL. Not thread-safe per
     handle (libtiff TIFF* is stateful)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, level: int = 0):
         lib = _load()
         _load_tiff_api(lib)
         w = ctypes.c_int64()
@@ -207,17 +212,32 @@ class TiledTiff:
         th = ctypes.c_int32()
         sup = ctypes.c_int32()
         self._h = lib.bn_tiff_open(
-            path.encode(), ctypes.byref(w), ctypes.byref(h),
+            path.encode(), int(level), ctypes.byref(w), ctypes.byref(h),
             ctypes.byref(tw), ctypes.byref(th), ctypes.byref(sup))
         if not self._h or not sup.value:
             self._h = None
             raise OSError(
-                f"not a supported tiled TIFF (striped or JPEG2000?): {path}")
+                f"not a supported tiled TIFF (striped or JPEG2000?): "
+                f"{path} level {level}")
         self._lib = lib
+        self.level = level
         self.width = int(w.value)
         self.height = int(h.value)
         self.tile_size = (int(tw.value), int(th.value))
         self.path = path
+
+    @staticmethod
+    def levels(path: str):
+        """[(width, height)] per pyramid level (TIFF directory)."""
+        lib = _load()
+        _load_tiff_api(lib)
+        cap = 32
+        ws = (ctypes.c_int64 * cap)()
+        hs = (ctypes.c_int64 * cap)()
+        n = lib.bn_tiff_levels(path.encode(), ws, hs, cap)
+        if n < 0:
+            raise OSError(f"cannot open TIFF: {path}")
+        return [(int(ws[i]), int(hs[i])) for i in range(min(n, cap))]
 
     def read_region(self, x: int, y: int, w: int, h: int) -> np.ndarray:
         """(h, w, 3) uint8 RGB at base resolution; out-of-image is zero."""
@@ -230,8 +250,34 @@ class TiledTiff:
         return out
 
     def thumbnail(self, max_px: int = 2048) -> np.ndarray:
-        """Downsampled full-slide RGB built band-by-band (for QC masks);
-        peak memory is one band, not the slide."""
+        """Downsampled full-slide RGB (for QC masks). Reads from the
+        smallest pyramid level that still meets max_px (decoding a
+        low-res level beats band-scanning the base by the downsample
+        factor squared); within the chosen level, bands bound memory."""
+        if self.level == 0:
+            try:
+                lv = self.levels(self.path)
+            except OSError:
+                lv = []
+            best = None
+            for i, (w, h) in enumerate(lv[1:], start=1):
+                # Keep only true pyramid levels (aspect preserved, smaller),
+                # skipping label/macro images common in .svs directories.
+                if not w or not h:
+                    continue
+                if abs((w / h) - (self.width / self.height)) > 0.05:
+                    continue
+                if max(w, h) >= max_px and (best is None or w < best[1]):
+                    best = (i, w)
+            if best is not None:
+                try:
+                    sub = TiledTiff(self.path, level=best[0])
+                    try:
+                        return sub.thumbnail(max_px)
+                    finally:
+                        sub.close()
+                except OSError:
+                    pass
         ds = max(1, int(np.ceil(max(self.width, self.height) / max_px)))
         ow = max(1, self.width // ds)
         oh = max(1, self.height // ds)
@@ -263,15 +309,16 @@ class TiledTiff:
 
 
 def write_tiled_tiff(path: str, rgb: np.ndarray, tile: int = 64,
-                     jpeg: bool = False) -> None:
+                     jpeg: bool = False, append: bool = False) -> None:
     """Write a tiled RGB TIFF (test fixture for the region reader; the
-    .svs-style layout when jpeg=True)."""
+    .svs-style layout when jpeg=True). append=True adds a new TIFF
+    directory — i.e. a pyramid level — to an existing file."""
     lib = _load()
     _load_tiff_api(lib)
     rgb = np.ascontiguousarray(rgb, np.uint8)
     h, w = rgb.shape[:2]
     rc = lib.bn_tiff_write_tiled(
         path.encode(), w, h, tile, tile,
-        rgb.ctypes.data_as(ctypes.c_void_p), int(jpeg))
+        rgb.ctypes.data_as(ctypes.c_void_p), int(jpeg), int(append))
     if rc != 0:
         raise OSError(f"tiff write failed (rc={rc}): {path}")

@@ -167,9 +167,17 @@ class WSI:
             self._compute_tissue_mask()
 
     def _detect_mpp(self) -> float:
-        """MPP from TIFF resolution tags when present, else DEFAULT_MPP."""
+        """MPP from Aperio ImageDescription ('|MPP = 0.25|', tag 270) or
+        TIFF resolution tags when present, else DEFAULT_MPP."""
         try:
             info = dict(self._img.tag_v2) if hasattr(self._img, "tag_v2") else {}
+            desc = info.get(270, "")
+            if isinstance(desc, bytes):
+                desc = desc.decode(errors="ignore")
+            if desc and "MPP" in desc:
+                for part in str(desc).replace("\n", "|").split("|"):
+                    if "MPP" in part and "=" in part:
+                        return float(part.split("=")[1].strip())
             # XResolution tag 282 in pixels per resolution unit (2=inch, 3=cm)
             xres = info.get(282)
             unit = info.get(296, 2)

@@ -495,14 +495,41 @@ struct BnTiff {
   uint32_t tile_w, tile_h;
 };
 
-extern "C" void* bn_tiff_open(const char* path, int64_t* w, int64_t* h,
-                              int32_t* tile_w, int32_t* tile_h,
+// List pyramid levels (TIFF directories): fills widths/heights up to
+// max_n, returns the directory count (or -1 if unopenable).
+extern "C" int32_t bn_tiff_levels(const char* path, int64_t* widths,
+                                  int64_t* heights, int32_t max_n) {
+  TIFFSetErrorHandler(nullptr);
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return -1;
+  int32_t n = 0;
+  do {
+    uint32_t iw = 0, ih = 0;
+    TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &iw);
+    TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &ih);
+    if (n < max_n) {
+      widths[n] = iw;
+      heights[n] = ih;
+    }
+    ++n;
+  } while (TIFFReadDirectory(tif));
+  TIFFClose(tif);
+  return n;
+}
+
+extern "C" void* bn_tiff_open(const char* path, int32_t level, int64_t* w,
+                              int64_t* h, int32_t* tile_w, int32_t* tile_h,
                               int32_t* supported) {
   TIFFSetErrorHandler(nullptr);   // silence stderr chatter
   TIFFSetWarningHandler(nullptr);
   TIFF* tif = TIFFOpen(path, "r");
   *supported = 0;
   if (!tif) return nullptr;
+  if (level > 0 && !TIFFSetDirectory(tif, (uint16_t)level)) {
+    TIFFClose(tif);
+    return nullptr;
+  }
   uint32_t iw = 0, ih = 0, tw = 0, th = 0;
   uint16_t compression = COMPRESSION_NONE;
   TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &iw);
@@ -582,8 +609,9 @@ extern "C" void bn_tiff_close(void* vh) {
 // against PIL as an independent decoder.
 extern "C" int bn_tiff_write_tiled(const char* path, int64_t w, int64_t h,
                                    int32_t tw, int32_t th,
-                                   const uint8_t* rgb, int use_jpeg) {
-  TIFF* tif = TIFFOpen(path, "w");
+                                   const uint8_t* rgb, int use_jpeg,
+                                   int append) {
+  TIFF* tif = TIFFOpen(path, append ? "a" : "w");
   if (!tif) return -1;
   TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
   TIFFSetField(tif, TIFFTAG_IMAGELENGTH, (uint32_t)h);

@@ -222,3 +222,39 @@ class TestTiledTiff:
         # Mean-pooled thumbnail tracks the source's global statistics.
         assert abs(float(th.mean()) - float(img.mean())) < 4
         t.close()
+
+    def test_pyramid_levels_and_thumbnail_from_level(self, tmp_path):
+        from biscuit_tpu.data.native_loader import TiledTiff, write_tiled_tiff
+
+        base = self._img(h=256, w=256, seed=4)
+        # Half-res level: 2x2 mean pool of the base.
+        lvl1 = base.reshape(128, 2, 128, 2, 3).mean((1, 3)).astype(np.uint8)
+        p = str(tmp_path / "pyr.svs")
+        write_tiled_tiff(p, base, tile=64)
+        write_tiled_tiff(p, lvl1, tile=64, append=True)
+        assert TiledTiff.levels(p) == [(256, 256), (128, 128)]
+        t0 = TiledTiff(p, level=0)
+        t1 = TiledTiff(p, level=1)
+        assert (t0.width, t1.width) == (256, 128)
+        np.testing.assert_array_equal(t1.read_region(0, 0, 128, 128), lvl1)
+        # thumbnail(max_px=128) picks the 128px level, not the base.
+        th = t0.thumbnail(max_px=128)
+        np.testing.assert_array_equal(th, lvl1)
+        t0.close()
+        t1.close()
+
+    def test_aperio_mpp_parsed(self, tmp_path, monkeypatch):
+        from types import SimpleNamespace
+
+        from biscuit_tpu.data.slide import WSI
+
+        # A WSI whose PIL handle advertises an Aperio-style description.
+        from biscuit_tpu.data.native_loader import write_tiled_tiff
+
+        p = str(tmp_path / "ap.svs")
+        write_tiled_tiff(p, self._img(h=128, w=128, seed=5), tile=64)
+        wsi = WSI(p, tile_px=32, tile_um=32, mpp=None)
+        fake = SimpleNamespace(tag_v2={270: "Aperio Format\n|AppMag = 20"
+                                            "|MPP = 0.4963|"}, size=(128, 128))
+        wsi._img = fake
+        assert abs(wsi._detect_mpp() - 0.4963) < 1e-9
