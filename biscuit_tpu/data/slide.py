@@ -152,6 +152,14 @@ class WSI:
         # Extraction size at level 0 and stride.
         self.extract_px = max(1, int(round(tile_um / self.mpp)))
         self.stride = max(1, self.extract_px // stride_div)
+        # Pyramid shortcut (openslide best_level_for_downsample semantics):
+        # when the extraction window is downsampled to tile_px anyway, read
+        # from the deepest pyramid level whose downsample still
+        # oversamples the target — 4-16x less tile decode on real .svs.
+        self._read_level = None
+        self._level_ds = 1.0
+        if self._tiled is not None and self.extract_px > self.tile_px:
+            self._pick_read_level()
         self.grid_x = max(0, (self.width - self.extract_px) // self.stride + 1)
         self.grid_y = max(0, (self.height - self.extract_px) // self.stride + 1)
         self.qc = qc
@@ -165,6 +173,32 @@ class WSI:
         self.rois = rois
         if qc in ("otsu", "both"):
             self._compute_tissue_mask()
+
+    def _pick_read_level(self):
+        from .native_loader import TiledTiff
+
+        want_ds = self.extract_px / self.tile_px
+        try:
+            levels = TiledTiff.levels(self.path)
+        except OSError:
+            return
+        best = None
+        for i, (w, h) in enumerate(levels[1:], start=1):
+            if not w or not h:
+                continue
+            # True pyramid levels preserve aspect (skip label/macro dirs).
+            if abs((w / h) - (self.width / self.height)) > 0.05:
+                continue
+            ds = self.width / w
+            if ds <= want_ds and (best is None or ds > best[1]):
+                best = (i, ds)
+        if best is not None and best[1] > 1.0:
+            try:
+                self._read_level = TiledTiff(self.path, level=best[0])
+                self._level_ds = best[1]
+            except OSError:
+                self._read_level = None
+                self._level_ds = 1.0
 
     def _detect_mpp(self) -> float:
         """MPP from Aperio ImageDescription ('|MPP = 0.25|', tag 270) or
@@ -243,7 +277,13 @@ class WSI:
         """Extract one tile at level-0 (x, y), resized to tile_px."""
         from PIL import Image
 
-        if self._tiled is not None:
+        if self._read_level is not None:
+            ds = self._level_ds
+            lpx = max(1, int(round(self.extract_px / ds)))
+            region = Image.fromarray(
+                self._read_level.read_region(int(round(x / ds)),
+                                             int(round(y / ds)), lpx, lpx))
+        elif self._tiled is not None:
             region = Image.fromarray(
                 self._tiled.read_region(x, y, self.extract_px,
                                         self.extract_px))

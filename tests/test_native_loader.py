@@ -258,3 +258,26 @@ class TestTiledTiff:
                                             "|MPP = 0.4963|"}, size=(128, 128))
         wsi._img = fake
         assert abs(wsi._detect_mpp() - 0.4963) < 1e-9
+
+    def test_wsi_reads_from_matched_pyramid_level(self, tmp_path):
+        from biscuit_tpu.data.native_loader import write_tiled_tiff
+        from biscuit_tpu.data.slide import WSI
+
+        base = self._img(h=256, w=256, seed=6)
+        lvl1 = base.reshape(128, 2, 128, 2, 3).mean((1, 3)).astype(np.uint8)
+        p = str(tmp_path / "lvl.svs")
+        write_tiled_tiff(p, base, tile=64)
+        write_tiled_tiff(p, lvl1, tile=64, append=True)
+        # extract 64px windows -> 32px tiles: downsample 2 == level 1.
+        wsi = WSI(p, tile_px=32, tile_um=64, mpp=1.0)
+        assert wsi._read_level is not None and wsi._level_ds == 2.0
+        tile = wsi.read_tile(0, 0)
+        assert tile.shape == (32, 32, 3)
+        # lpx == tile_px here, so the tile is exactly the level-1 region.
+        np.testing.assert_array_equal(tile, lvl1[:32, :32])
+        tile2 = wsi.read_tile(64, 128)
+        np.testing.assert_array_equal(tile2, lvl1[64:96, 32:64])
+
+        # Without a usable level (tile_um == tile_px), base level is used.
+        wsi2 = WSI(p, tile_px=32, tile_um=32, mpp=1.0)
+        assert wsi2._read_level is None
