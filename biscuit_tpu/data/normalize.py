@@ -134,7 +134,9 @@ def inference_preprocess(images_u8, normalizer):
     the exact f32 XLA chain. Training keeps trainer.preprocess (f32)."""
     from ..ops.fused_preprocess import fused_preprocess, use_fused_preprocess
 
-    if use_fused_preprocess() and type(normalizer) is ReinhardFastNormalizer:
+    if (use_fused_preprocess()
+            and type(normalizer) is ReinhardFastNormalizer
+            and images_u8.dtype == jnp.uint8):
         return fused_preprocess(images_u8, normalizer)
     x = images_u8.astype(jnp.float32)
     if normalizer is not None:

@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..data.normalize import make_normalizer, per_image_standardization
+from ..data.normalize import make_normalizer
 
 
 def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
@@ -138,10 +138,9 @@ class UncertaintyInterface:
         normalizer = self.wsi_normalizer
 
         def _infer(params, batch_stats, images_u8, key):
-            x = images_u8.astype(jnp.float32)
-            if normalizer is not None:
-                x = normalizer(x)
-            x = per_image_standardization(x)
+            from ..data.normalize import inference_preprocess
+
+            x = inference_preprocess(images_u8, normalizer)
             return mc_dropout_predict(
                 self.model, params, batch_stats, x, key, k=self.k,
                 use_pallas=use_pallas,
