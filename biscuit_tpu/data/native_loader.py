@@ -285,13 +285,11 @@ class TiledTiff:
         band_rows = -(-max(self.tile_size[1], ds) // ds) * ds
         thumb = np.empty((oh, ow, 3), np.uint8)
         for y0 in range(0, oh * ds, band_rows):
+            # Band heights are positive ds-multiples by construction.
             band = self.read_region(0, y0, ow * ds, min(band_rows,
                                                         oh * ds - y0))
-            sub = band[: (band.shape[0] // ds) * ds]
-            if not sub.shape[0]:
-                continue
-            pooled = sub.reshape(
-                sub.shape[0] // ds, ds, ow, ds, 3).mean(axis=(1, 3))
+            pooled = band.reshape(
+                band.shape[0] // ds, ds, ow, ds, 3).mean(axis=(1, 3))
             r0 = y0 // ds
             thumb[r0:r0 + pooled.shape[0]] = pooled.astype(np.uint8)
         return thumb

@@ -140,11 +140,16 @@ class WSI:
         # first pixel access — multi-GB for real WSIs). Striped/JPEG2000
         # files fall back to PIL.
         self._tiled = None
+        self._levels = []  # [(w, h)] per TIFF directory, fetched once
         if splitext(path)[1].lower() in (".svs", ".tif", ".tiff"):
             try:
                 from .native_loader import TiledTiff
 
                 self._tiled = TiledTiff(path)
+                try:
+                    self._levels = TiledTiff.levels(path)
+                except OSError:
+                    self._levels = []
             except (OSError, ImportError):
                 self._tiled = None
         self.width, self.height = self._img.size
@@ -174,28 +179,30 @@ class WSI:
         if qc in ("otsu", "both"):
             self._compute_tissue_mask()
 
+    def _pyramid_levels(self):
+        """Aspect-checked pyramid levels as (index, w, h, downsample),
+        skipping the .svs label/macro directories."""
+        out = []
+        for i, (w, h) in enumerate(self._levels[1:], start=1):
+            if not w or not h:
+                continue
+            if abs((w / h) - (self.width / self.height)) > 0.05:
+                continue
+            out.append((i, w, h, self.width / w))
+        return out
+
     def _pick_read_level(self):
         from .native_loader import TiledTiff
 
         want_ds = self.extract_px / self.tile_px
-        try:
-            levels = TiledTiff.levels(self.path)
-        except OSError:
-            return
         best = None
-        for i, (w, h) in enumerate(levels[1:], start=1):
-            if not w or not h:
-                continue
-            # True pyramid levels preserve aspect (skip label/macro dirs).
-            if abs((w / h) - (self.width / self.height)) > 0.05:
-                continue
-            ds = self.width / w
-            if ds <= want_ds and (best is None or ds > best[1]):
-                best = (i, ds)
-        if best is not None and best[1] > 1.0:
+        for i, w, h, ds in self._pyramid_levels():
+            if ds <= want_ds and (best is None or ds > best[3]):
+                best = (i, w, h, ds)
+        if best is not None and best[3] > 1.0:
             try:
                 self._read_level = TiledTiff(self.path, level=best[0])
-                self._level_ds = best[1]
+                self._level_ds = best[3]
             except OSError:
                 self._read_level = None
                 self._level_ds = 1.0
@@ -211,7 +218,10 @@ class WSI:
             if desc and "MPP" in desc:
                 for part in str(desc).replace("\n", "|").split("|"):
                     if "MPP" in part and "=" in part:
-                        return float(part.split("=")[1].strip())
+                        try:
+                            return float(part.split("=")[1].strip())
+                        except ValueError:
+                            continue  # malformed; try tags below
             # XResolution tag 282 in pixels per resolution unit (2=inch, 3=cm)
             xres = info.get(282)
             unit = info.get(296, 2)
@@ -226,12 +236,27 @@ class WSI:
 
     def _compute_tissue_mask(self):
         if self._tiled is not None:
-            ds = max(1, int(np.ceil(max(self.width, self.height) / 1024)))
-            rgb = self._tiled.thumbnail(max_px=1024).astype(np.float32)
+            # Prefer the smallest pyramid level that still meets 1024px
+            # (decoding a low-res level beats band-scanning the base).
+            src = self._tiled
+            opened = None
+            cand = [(i, w) for i, w, h, _ in self._pyramid_levels()
+                    if max(w, h) >= 1024]
+            if cand:
+                from .native_loader import TiledTiff
+
+                i = min(cand, key=lambda t: t[1])[0]
+                try:
+                    opened = TiledTiff(self.path, level=i)
+                    src = opened
+                except OSError:
+                    pass
+            rgb = src.thumbnail(max_px=1024).astype(np.float32)
+            if opened is not None:
+                opened.close()
             # ITU-R 601 luma, matching PIL convert("L").
             gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                     + 0.114 * rgb[..., 2]).astype(np.uint8)
-            thumb_scale = ds
         else:
             thumb_scale = max(1, max(self.width, self.height) // 1024)
             thumb = self._img.resize(
@@ -240,17 +265,22 @@ class WSI:
             ).convert("L")
             gray = np.asarray(thumb)
         t = otsu_threshold(gray)
-        # Tissue is darker than background on brightfield H&E.
-        self._tissue_mask = gray < t
-        self._thumb_scale = thumb_scale
+        # Tissue is darker than background on brightfield H&E. Otsu's t is
+        # the INCLUSIVE upper bound of the dark class ([0..t] vs [t+1..255],
+        # the cv2 THRESH_OTSU convention), so the dark-class test is <=.
+        self._tissue_mask = gray <= t
+        # Derive the mask scale from the mask's actual shape — recomputing
+        # the downsample independently desynchronizes when the thumbnail
+        # came from a pyramid level (compound scale).
+        self._thumb_scale = self.width / gray.shape[1]
 
     def _tile_is_tissue(self, x: int, y: int) -> bool:
         if self._tissue_mask is None:
             return True
-        s = self._thumb_scale
-        mx0, my0 = x // s, y // s
-        mx1 = max(mx0 + 1, (x + self.extract_px) // s)
-        my1 = max(my0 + 1, (y + self.extract_px) // s)
+        s = self._thumb_scale  # float: mask px per slide px
+        mx0, my0 = int(x / s), int(y / s)
+        mx1 = max(mx0 + 1, int((x + self.extract_px) / s))
+        my1 = max(my0 + 1, int((y + self.extract_px) / s))
         region = self._tissue_mask[my0:my1, mx0:mx1]
         return region.size > 0 and region.mean() >= TISSUE_FRACTION
 
@@ -279,10 +309,15 @@ class WSI:
 
         if self._read_level is not None:
             ds = self._level_ds
-            lpx = max(1, int(round(self.extract_px / ds)))
-            region = Image.fromarray(
-                self._read_level.read_region(int(round(x / ds)),
-                                             int(round(y / ds)), lpx, lpx))
+            lv = self._read_level
+            lpx = max(1, min(int(round(self.extract_px / ds)),
+                             lv.width, lv.height))
+            # Clamp so non-integer downsamples can't read past the level
+            # edge (zero-filled black stripes on border tiles); worst-case
+            # misregistration vs the base path is ~ds/2 slide pixels.
+            lx = max(0, min(int(round(x / ds)), lv.width - lpx))
+            ly = max(0, min(int(round(y / ds)), lv.height - lpx))
+            region = Image.fromarray(lv.read_region(lx, ly, lpx, lpx))
         elif self._tiled is not None:
             region = Image.fromarray(
                 self._tiled.read_region(x, y, self.extract_px,
@@ -367,23 +402,28 @@ def _write_pdf_report(project, report, tile_px, tile_um, tfr_paths,
 
     path = join(project.root,
                 f"tile_extraction_report_{tile_px}px_{tile_um}um.pdf")
+    rows_per_page = 40
     with PdfPages(path) as pdf:
-        fig, ax = plt.subplots(figsize=(8.5, 11))
-        ax.axis("off")
-        ax.set_title(
-            f"Tile extraction report — {tile_px}px / {tile_um}um\n"
-            f"project: {project.name}", fontsize=12,
-        )
         cells = [[r["slide"], str(r["tiles"]), r["grid"], r["source"]]
                  for r in report]
-        table = ax.table(
-            cellText=cells, colLabels=["slide", "tiles", "grid", "source"],
-            loc="upper center", cellLoc="left",
-        )
-        table.auto_set_font_size(False)
-        table.set_fontsize(8)
-        pdf.savefig(fig)
-        plt.close(fig)
+        for p0 in range(0, max(len(cells), 1), rows_per_page):
+            fig, ax = plt.subplots(figsize=(8.5, 11))
+            ax.axis("off")
+            ax.set_title(
+                f"Tile extraction report — {tile_px}px / {tile_um}um\n"
+                f"project: {project.name} "
+                f"(slides {p0 + 1}-{min(p0 + rows_per_page, len(cells))}"
+                f" of {len(cells)})", fontsize=12,
+            )
+            table = ax.table(
+                cellText=cells[p0:p0 + rows_per_page] or [["-"] * 4],
+                colLabels=["slide", "tiles", "grid", "source"],
+                loc="upper center", cellLoc="left",
+            )
+            table.auto_set_font_size(False)
+            table.set_fontsize(8)
+            pdf.savefig(fig)
+            plt.close(fig)
 
         for r in report:
             tfr = tfr_paths.get(r["slide"])

@@ -281,3 +281,30 @@ class TestTiledTiff:
         # Without a usable level (tile_um == tile_px), base level is used.
         wsi2 = WSI(p, tile_px=32, tile_um=32, mpp=1.0)
         assert wsi2._read_level is None
+
+    def test_tissue_mask_scale_from_pyramid_thumbnail(self, tmp_path):
+        """Regression: _thumb_scale must come from the mask's actual shape
+        — recomputing the downsample desynchronizes when the QC thumbnail
+        is read from a pyramid level (compound scale)."""
+        from biscuit_tpu.data.native_loader import write_tiled_tiff
+        from biscuit_tpu.data.slide import WSI
+
+        H = W = 2048
+        base = np.full((H, W, 3), 240, np.uint8)   # white background
+        base[:, : W // 2] = 40                     # left half = dark tissue
+        lvl1 = base.reshape(1024, 2, 1024, 2, 3).mean((1, 3)).astype(
+            np.uint8)
+        p = str(tmp_path / "big.svs")
+        write_tiled_tiff(p, base, tile=256)
+        write_tiled_tiff(p, lvl1, tile=256, append=True)
+        wsi = WSI(p, tile_px=64, tile_um=64, mpp=1.0, qc="otsu")
+        # Thumbnail came from level 1 (1024px), so mask is 1024 wide and
+        # the scale is exactly 2 slide px per mask px.
+        assert wsi._tissue_mask.shape[1] == 1024
+        assert wsi._thumb_scale == 2.0
+        # Tissue decisions line up with the slide halves, including the
+        # rightmost column (which a desynced scale rejects).
+        assert wsi._tile_is_tissue(0, 0)
+        assert wsi._tile_is_tissue(W // 2 - 128, 0)
+        assert not wsi._tile_is_tissue(W // 2 + 64, 0)
+        assert not wsi._tile_is_tissue(W - 64, H - 64)
