@@ -176,11 +176,21 @@ def bench_e2e(jax, jnp, params, batch_stats, uq_step, device):
                 n += int(np.asarray(b["mask"]).sum())
             jax.block_until_ready(outs)
             dt = time.perf_counter() - t0
+
+            # Companion: host decode-only throughput (no device) —
+            # separates the host pipeline's capability from the dev
+            # tunnel's host->device transfer, which dominates e2e here.
+            n_host = 0
+            t0 = time.perf_counter()
+            for i in range(E2E_BATCHES):
+                b = next(it)
+                n_host += int(np.asarray(b["mask"]).sum())
+            host_dt = time.perf_counter() - t0
         finally:
             # Stop the decode worker before the tempdir is torn down.
             prefetch.close()
             batcher.close()
-    return n / dt
+    return n / dt, n_host / host_dt
 
 
 def main():
@@ -197,11 +207,11 @@ def main():
 
     _log("companion: prefetch-fed end-to-end tile stream...")
     try:
-        e2e_tiles_per_s = bench_e2e(jax, jnp, params, batch_stats, uq_step,
-                                    device)
+        e2e_tiles_per_s, host_tiles_per_s = bench_e2e(
+            jax, jnp, params, batch_stats, uq_step, device)
     except Exception as e:  # companion metric must not sink the headline
         _log(f"e2e bench failed: {e!r}")
-        e2e_tiles_per_s = None
+        e2e_tiles_per_s = host_tiles_per_s = None
 
     fpt = uq_flops_per_tile("xception", tile_px=299, k=30)
     peak = peak_flops(device.device_kind)
@@ -221,6 +231,10 @@ def main():
                 "e2e_tiles_per_s": (
                     round(e2e_tiles_per_s, 2)
                     if e2e_tiles_per_s is not None else None
+                ),
+                "host_decode_tiles_per_s": (
+                    round(host_tiles_per_s, 2)
+                    if host_tiles_per_s is not None else None
                 ),
                 "mfu_pct": round(100 * mfu, 1),
                 "flops_per_tile": fpt,
