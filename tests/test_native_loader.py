@@ -308,3 +308,14 @@ class TestTiledTiff:
         assert wsi._tile_is_tissue(W // 2 - 128, 0)
         assert not wsi._tile_is_tissue(W // 2 + 64, 0)
         assert not wsi._tile_is_tissue(W - 64, H - 64)
+
+    def test_garbage_file_raises_cleanly(self, tmp_path):
+        from biscuit_tpu.data.native_loader import TiledTiff
+
+        p = str(tmp_path / "junk.svs")
+        with open(p, "wb") as f:
+            f.write(b"definitely not a tiff" * 100)
+        with pytest.raises(OSError):
+            TiledTiff(p)
+        with pytest.raises(OSError):
+            TiledTiff.levels(p)
