@@ -46,8 +46,13 @@ def num_range(s: str):
                    "fields); default is the published nature2022 config.")
 @click.option("--orderings", default=True, type=bool,
               help="Include the reverse/order2 orderings of the reg matrix.")
+@click.option("--submeshes", default=1, type=int,
+              help="Partition the device slice into N submeshes and train "
+                   "independent folds concurrently (TPU-native addition; "
+                   "1 = sequential, reference behavior).")
 def train_models(train_project, eval_projects, outcome, outcome1, outcome2,
-                 steps, reg, ratio, gan, subset, hp_json, orderings):
+                 steps, reg, ratio, gan, subset, hp_json, orderings,
+                 submeshes):
     """Train the published experiment grid (train.py:27-96)."""
     experiment = Experiment(
         train_project,
@@ -56,6 +61,8 @@ def train_models(train_project, eval_projects, outcome, outcome1, outcome2,
         outcome1=outcome1,
         outcome2=outcome2,
     )
+    if submeshes and submeshes > 1:
+        experiment.train_kwargs["n_submeshes"] = submeshes
     hp = "nature2022"
     if hp_json:
         import json
