@@ -171,3 +171,29 @@ class TestFusedBlockTPU:
         got = fused_strided_block(jnp.asarray(x, jnp.bfloat16), wts,
                                   relu_first=True, hs=18)
         assert _rel_err(got, ref) < 2e-2
+
+    def test_full_fused_trunk_on_chip(self):
+        """Opt-in fully-fused trunk (stem -> fused entry blocks -> fused
+        middle -> fused exit block -> tail) vs the default fused-middle
+        path on the real chip, full 299px Xception."""
+        from biscuit_tpu.hp import nature2022_params
+        from biscuit_tpu.ops.fused_sepconv import trunk_features_fused
+
+        hp = nature2022_params()
+        model = build_model(hp)
+        cpu = jax.devices("cpu")[0]
+        rng = jax.random.PRNGKey(0)
+        with jax.default_device(cpu):
+            v = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 299, 299, 3), jnp.float32),
+                           train=False)
+        v = jax.device_put(v, jax.devices()[0])
+        params, bs = v["params"], v["batch_stats"]
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((16, 299, 299, 3)),
+            jnp.float32)
+        a = np.asarray(trunk_features_fused(model, params, bs, x,
+                                            fuse_blocks=False), np.float32)
+        b = np.asarray(trunk_features_fused(model, params, bs, x,
+                                            fuse_blocks=True), np.float32)
+        assert np.abs(a - b).max() / np.abs(a).max() < 3e-2
