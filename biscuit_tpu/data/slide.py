@@ -179,6 +179,19 @@ class WSI:
         if qc in ("otsu", "both"):
             self._compute_tissue_mask()
 
+    def close(self):
+        """Release native TIFF handles (and the PIL handle); safe to call
+        repeatedly. Long extraction loops close each slide explicitly
+        rather than relying on GC timing for file handles."""
+        for attr in ("_tiled", "_read_level"):
+            h = getattr(self, attr, None)
+            if h is not None:
+                h.close()
+                setattr(self, attr, None)
+        img = getattr(self, "_img", None)
+        if img is not None and hasattr(img, "close"):
+            img.close()
+
     def _pyramid_levels(self):
         """Aspect-checked pyramid levels as (index, w, h, downsample),
         skipping the .svs label/macro directories."""
@@ -501,7 +514,10 @@ def extract_tiles_for_project(project, tile_px=299, tile_um=302, qc=None,
                 roi_kw = {"rois": roi_csv, "roi_method": "inside"}
             wsi = WSI(join(slides_dir, fname), tile_px, tile_um, qc=qc,
                       **roi_kw, **kwargs)
-            n = wsi.extract_tiles(out_path, img_format=img_format)
+            try:
+                n = wsi.extract_tiles(out_path, img_format=img_format)
+            finally:
+                wsi.close()
             report.append({"slide": name, "tiles": n, "source": src,
                            "grid": f"{wsi.grid_x}x{wsi.grid_y}"})
             tfr_paths[name] = out_path
