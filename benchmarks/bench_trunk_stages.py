@@ -83,16 +83,26 @@ def main(batch=256):
     def head(feats, key):
         return mc_dropout_head(model, params, batch_stats, feats, key, k=30)
 
+    from biscuit_tpu.ops.fused_preprocess import fused_preprocess
+    from biscuit_tpu.ops.fused_sepconv import trunk_features_fused
+
+    def pre_f(u8):
+        return fused_preprocess(u8, normalizer).astype(jnp.float32)
+
     key = jax.random.PRNGKey(3)
     prefixes = {
         "null": lambda u8: u8[0, 0, 0, :],
         "pre": lambda u8: pre(u8),
+        "preF (fused)": lambda u8: pre_f(u8),
         "pre+entry": lambda u8: entry(pre(u8)),
         "pre+entry+midX": lambda u8: mid_xla(entry(pre(u8))),
         "pre+entry+midF": lambda u8: mid_fused(entry(pre(u8))),
         "...midF+exit": lambda u8: exitf(mid_fused(entry(pre(u8)))),
         "full (fused)": lambda u8: head(
             exitf(mid_fused(entry(pre(u8)))), key),
+        "full (preF+blocks)": lambda u8: head(
+            trunk_features_fused(model, params, batch_stats, pre_f(u8),
+                                 fuse_blocks=True), key),
     }
 
     def timeit(fn, iters=12):
@@ -120,6 +130,7 @@ def main(batch=256):
     deltas = {
         "dispatch overhead": times["null"],
         "preprocess": times["pre"] - times["null"],
+        "preprocess fused": times["preF (fused)"] - times["null"],
         "entry": times["pre+entry"] - times["pre"],
         "middle XLA": times["pre+entry+midX"] - times["pre+entry"],
         "middle fused": times["pre+entry+midF"] - times["pre+entry"],
