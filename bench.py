@@ -177,19 +177,30 @@ def bench_e2e(jax, jnp, params, batch_stats, uq_step, device):
             jax.block_until_ready(outs)
             dt = time.perf_counter() - t0
 
-            # Companion: host decode-only throughput (no device) —
-            # separates the host pipeline's capability from the dev
-            # tunnel's host->device transfer, which dominates e2e here.
-            n_host = 0
-            t0 = time.perf_counter()
-            for i in range(E2E_BATCHES):
-                b = next(it)
-                n_host += int(np.asarray(b["mask"]).sum())
-            host_dt = time.perf_counter() - t0
         finally:
             # Stop the decode worker before the tempdir is torn down.
             prefetch.close()
             batcher.close()
+
+        # Companion: host decode-only throughput (no device) — separates
+        # the host pipeline's capability from the dev tunnel's
+        # host->device transfer, which dominates e2e here. A FRESH
+        # non-prefetched batcher: draining the prefetch queue filled
+        # during the device phase would overstate decode rate.
+        host_batcher = TileBatcher(
+            paths, labels=None, batch_size=BATCH // 4, shuffle=True,
+            infinite=True, seed=1, tile_px=299,
+        )
+        try:
+            hit = iter(host_batcher)
+            next(hit)  # warm file handles/indices
+            n_host = 0
+            t0 = time.perf_counter()
+            for i in range(E2E_BATCHES):
+                n_host += int(np.asarray(next(hit)["mask"]).sum())
+            host_dt = time.perf_counter() - t0
+        finally:
+            host_batcher.close()
     return n / dt, n_host / host_dt
 
 

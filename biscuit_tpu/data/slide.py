@@ -249,24 +249,9 @@ class WSI:
 
     def _compute_tissue_mask(self):
         if self._tiled is not None:
-            # Prefer the smallest pyramid level that still meets 1024px
-            # (decoding a low-res level beats band-scanning the base).
-            src = self._tiled
-            opened = None
-            cand = [(i, w) for i, w, h, _ in self._pyramid_levels()
-                    if max(w, h) >= 1024]
-            if cand:
-                from .native_loader import TiledTiff
-
-                i = min(cand, key=lambda t: t[1])[0]
-                try:
-                    opened = TiledTiff(self.path, level=i)
-                    src = opened
-                except OSError:
-                    pass
-            rgb = src.thumbnail(max_px=1024).astype(np.float32)
-            if opened is not None:
-                opened.close()
+            # TiledTiff.thumbnail internally reads from the smallest
+            # pyramid level that still meets 1024px.
+            rgb = self._tiled.thumbnail(max_px=1024).astype(np.float32)
             # ITU-R 601 luma, matching PIL convert("L").
             gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
                     + 0.114 * rgb[..., 2]).astype(np.uint8)
@@ -419,7 +404,7 @@ def _write_pdf_report(project, report, tile_px, tile_um, tfr_paths,
     with PdfPages(path) as pdf:
         cells = [[r["slide"], str(r["tiles"]), r["grid"], r["source"]]
                  for r in report]
-        for p0 in range(0, max(len(cells), 1), rows_per_page):
+        for p0 in range(0, len(cells), rows_per_page):
             fig, ax = plt.subplots(figsize=(8.5, 11))
             ax.axis("off")
             ax.set_title(
@@ -429,7 +414,7 @@ def _write_pdf_report(project, report, tile_px, tile_um, tfr_paths,
                 f" of {len(cells)})", fontsize=12,
             )
             table = ax.table(
-                cellText=cells[p0:p0 + rows_per_page] or [["-"] * 4],
+                cellText=cells[p0:p0 + rows_per_page],
                 colLabels=["slide", "tiles", "grid", "source"],
                 loc="upper center", cellLoc="left",
             )

@@ -289,19 +289,23 @@ class TestTiledTiff:
         from biscuit_tpu.data.native_loader import write_tiled_tiff
         from biscuit_tpu.data.slide import WSI
 
-        H = W = 2048
+        # Non-power-of-two base: the pre-fix code recomputed
+        # ceil(3000/1024) = 3, but the actual compound scale is level
+        # ds 2 x in-level thumbnail ds 2 = 4 — sizes where the two
+        # coincide (e.g. 2048) would not pin the bug.
+        H = W = 3000
         base = np.full((H, W, 3), 240, np.uint8)   # white background
         base[:, : W // 2] = 40                     # left half = dark tissue
-        lvl1 = base.reshape(1024, 2, 1024, 2, 3).mean((1, 3)).astype(
+        lvl1 = base.reshape(1500, 2, 1500, 2, 3).mean((1, 3)).astype(
             np.uint8)
         p = str(tmp_path / "big.svs")
         write_tiled_tiff(p, base, tile=256)
         write_tiled_tiff(p, lvl1, tile=256, append=True)
         wsi = WSI(p, tile_px=64, tile_um=64, mpp=1.0, qc="otsu")
-        # Thumbnail came from level 1 (1024px), so mask is 1024 wide and
-        # the scale is exactly 2 slide px per mask px.
-        assert wsi._tissue_mask.shape[1] == 1024
-        assert wsi._thumb_scale == 2.0
+        # Thumbnail came from level 1 (1500px) downsampled 2x, so the
+        # mask is 750 wide and the scale is exactly 4 slide px/mask px.
+        assert wsi._tissue_mask.shape[1] == 750
+        assert wsi._thumb_scale == 4.0
         # Tissue decisions line up with the slide halves, including the
         # rightmost column (which a desynced scale rejects).
         assert wsi._tile_is_tissue(0, 0)
