@@ -232,9 +232,14 @@ class WSI:
                 for part in str(desc).replace("\n", "|").split("|"):
                     if "MPP" in part and "=" in part:
                         try:
-                            return float(part.split("=")[1].strip())
+                            mpp = float(part.split("=")[1].strip())
                         except ValueError:
                             continue  # malformed; try tags below
+                        # Only accept plausible values: 'MPP = 0' would
+                        # otherwise crash extract_px with a zero division,
+                        # and slide scanners are all within 0.1-10 um/px.
+                        if 0.0 < mpp < 10.0:
+                            return mpp
             # XResolution tag 282 in pixels per resolution unit (2=inch, 3=cm)
             xres = info.get(282)
             unit = info.get(296, 2)

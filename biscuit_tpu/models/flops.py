@@ -6,7 +6,9 @@ first-class bench output). Counts 2*MACs for convs/matmuls, walking the
 same ARCHS config the Flax model is built from
 (models/xception.py ARCHS; Chollet 2017 arch).
 
-Spatial sizes follow SAME padding: out = ceil(in / stride).
+Spatial sizes follow SAME padding (out = ceil(in / stride)) everywhere
+except the two stem convs, which are VALID to match keras.applications
+Xception exactly (models/xception.py conv1/conv2).
 """
 
 from __future__ import annotations
@@ -16,8 +18,11 @@ import math
 from .xception import ARCHS
 
 
-def _conv(h, w, cin, cout, k=3, stride=1, groups=1):
-    ho, wo = math.ceil(h / stride), math.ceil(w / stride)
+def _conv(h, w, cin, cout, k=3, stride=1, groups=1, padding="SAME"):
+    if padding == "VALID":
+        ho, wo = (h - k) // stride + 1, (w - k) // stride + 1
+    else:
+        ho, wo = math.ceil(h / stride), math.ceil(w / stride)
     return 2 * ho * wo * cout * (k * k * cin // groups), ho, wo
 
 
@@ -27,10 +32,11 @@ def trunk_flops(arch: str = "xception", tile_px: int = 299) -> int:
     cfg = ARCHS[arch]
     f = 0
     h = w = tile_px
-    # Entry convs: stride-2 then stride-1.
+    # Entry convs: stride-2 then stride-1 (VALID, Keras-exact stem).
     c_in = 3
     for i, c_out in enumerate(cfg["entry_convs"]):
-        df, h, w = _conv(h, w, c_in, c_out, k=3, stride=2 if i == 0 else 1)
+        df, h, w = _conv(h, w, c_in, c_out, k=3, stride=2 if i == 0 else 1,
+                         padding="VALID")
         f += df
         c_in = c_out
 

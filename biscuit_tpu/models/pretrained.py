@@ -52,6 +52,13 @@ _CONV = "conv"        # kernel -> kernel
 _SEP = "sepconv"      # depthwise_kernel/pointwise_kernel -> two sub-convs
 _BN = "bn"            # gamma/beta -> params, moving_* -> batch_stats
 
+# Keras Xception builds BatchNormalization(epsilon=1e-3); our flax model
+# uses nn.BatchNorm's default 1e-5. Compensated at conversion time (see
+# convert_keras_xception) — exact for inference because only var+eps enters
+# the normalization.
+_KERAS_BN_EPS = 1e-3
+_FLAX_BN_EPS = 1e-5
+
 
 def keras_layer_map(arch: str = "xception") -> Dict[Tuple[str, ...], Tuple[str, str]]:
     """Flax backbone module path -> (keras_layer_name, kind).
@@ -225,7 +232,14 @@ def convert_keras_xception(
                         keras_name)
                 _assign(bb_stats, flax_path + ("mean",), mean, problems,
                         keras_name)
-                _assign(bb_stats, flax_path + ("var",), var, problems,
+                # Keras Xception BN uses epsilon=1e-3; flax nn.BatchNorm
+                # (and ops.fold_bn) normalize with epsilon=1e-5. Shift the
+                # stored variance so x/sqrt(var' + 1e-5) == the Keras
+                # x/sqrt(var + 1e-3) exactly in inference mode (ADVICE r2
+                # medium finding; without this every BN layer is off by up
+                # to ~5% scale on low-variance channels).
+                _assign(bb_stats, flax_path + ("var",),
+                        var + (_KERAS_BN_EPS - _FLAX_BN_EPS), problems,
                         keras_name)
         except ValueError as e:
             problems.append(str(e))

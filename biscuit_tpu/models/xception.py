@@ -131,14 +131,20 @@ class XceptionBackbone(nn.Module):
         'all' param tree serves every stage at apply time."""
         cfg = ARCHS[self.arch]
         if stage in ("all", "entry", "stem"):
-            # Entry flow: two strided/plain convs (the 'stem').
+            # Entry flow: two strided/plain convs (the 'stem'). VALID
+            # padding matches keras.applications Xception exactly (its
+            # block1 convs use the Conv2D default padding='valid'; every
+            # other conv in the graph is 'same') — required so converted
+            # ImageNet weights reproduce the Keras features
+            # (tests/test_pretrained.py numpy-forward parity).
             x = nn.Conv(cfg["entry_convs"][0], (3, 3), strides=(2, 2),
-                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+                        use_bias=False, padding="VALID", dtype=self.dtype,
+                        name="conv1")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name="conv1_bn")(x)
             x = nn.relu(x)
             x = nn.Conv(cfg["entry_convs"][1], (3, 3), use_bias=False,
-                        dtype=self.dtype, name="conv2")(x)
+                        padding="VALID", dtype=self.dtype, name="conv2")(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                              name="conv2_bn")(x)
             x = nn.relu(x)

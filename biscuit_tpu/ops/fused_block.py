@@ -276,11 +276,12 @@ def stack_block_weights(block_params, block_stats):
 
 
 # Strip heights per (H, Cin) geometry (divisible by 6; sized to keep bf16
-# scratches + f32 chunk values well inside VMEM).
+# scratches + f32 chunk values well inside VMEM). Entry geometry follows
+# the Keras-exact VALID stem (299 -> 149 -> 147 -> 74 -> 37 -> 19).
 _DEFAULT_HS = {
-    (150, 64): 24,    # entry0
-    (75, 128): 24,    # entry1
-    (38, 256): 36,    # entry2 (~single strip)
+    (147, 64): 24,    # entry0
+    (74, 128): 24,    # entry1
+    (37, 256): 36,    # entry2 (~single strip)
     (19, 728): 18,    # exit block (single strip)
 }
 

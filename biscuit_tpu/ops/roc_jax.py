@@ -30,6 +30,7 @@ import jax.numpy as jnp
 __all__ = [
     "auc_jax",
     "youden_threshold_jax",
+    "youden_candidates_jax",
     "uncertainty_threshold_jax",
     "segment_mean",
     "group_reduce",
@@ -123,6 +124,73 @@ def youden_threshold_jax(y_true, y_score, mask=None):
     thr = jnp.where(j[best] > 0, s[best], jnp.inf)
     jval = jnp.maximum(j[best], 0.0)
     return thr, jval
+
+
+@partial(jax.jit, static_argnames=("k",))
+def youden_candidates_jax(y_true, y_score, mask=None, k: int = 128):
+    """Near-optimal Youden operating points with exact integer curve counts.
+
+    The pure-device :func:`youden_threshold_jax` picks the argmax of a
+    float32 J — at an *exact* J tie, the host/sklearn pick is decided by
+    float64 rounding noise of ``tps/m - fps/n`` (the reference's
+    ``max(zip(tpr, fpr), key=...)`` idiom, threshold.py:145-152), which
+    float32 cannot reproduce. This op instead returns every unpruned curve
+    position whose f32 J is within ``_J_MARGIN`` of the maximum (a strict
+    superset of all exact ties: true-J gaps between distinct integer count
+    pairs are >= 1/(m*n) >> f64 noise, and f32 evaluation noise of J is
+    < 1e-6), with the integer ``tps``/``fps`` at each. The caller then
+    re-evaluates J in float64 over this tiny set and applies argmax with
+    first-occurrence — bit-identical to the host including noise-level tie
+    resolution (see threshold_device._resolve_youden).
+
+    sklearn's ``drop_intermediate`` pruning is replicated (collinear
+    interior points are excluded) because a pruned position can tie the
+    maximum and must not be selectable.
+
+    Counts are exact in f32 for n <= 2**24 rows.
+
+    Returns dict: tps/fps/score (k,), count, m, n. Positions beyond k are
+    dropped (caller checks count <= k).
+    """
+    if mask is None:
+        mask = jnp.ones(y_score.shape, jnp.float32)
+    tps, fps, s, valid = _cum_curve(y_true, y_score, mask)
+    n_rows = s.shape[0]
+    m = tps[-1]
+    n = fps[-1]
+
+    # drop_intermediate over the compressed (valid-position) sequence:
+    # keep position i unless both second differences w.r.t. its previous
+    # and next valid neighbors vanish (sklearn roc_curve's np.diff(..., 2)).
+    idx = jnp.arange(n_rows)
+    prev_i = jnp.maximum.accumulate(jnp.where(valid, idx, -1))
+    prev = jnp.concatenate([jnp.array([-1]), prev_i[:-1]])
+    next_i = jnp.flip(jnp.minimum.accumulate(
+        jnp.flip(jnp.where(valid, idx, n_rows))))
+    nxt = jnp.concatenate([next_i[1:], jnp.array([n_rows])])
+    has_both = (prev >= 0) & (nxt < n_rows)
+    pc = jnp.clip(prev, 0, n_rows - 1)
+    nc = jnp.clip(nxt, 0, n_rows - 1)
+    d2f = fps[nc] - 2.0 * fps + fps[pc]
+    d2t = tps[nc] - 2.0 * tps + tps[pc]
+    keep = jnp.where(has_both, (d2f != 0.0) | (d2t != 0.0), True)
+
+    cand = valid & keep
+    j = tps / jnp.maximum(m, 1.0) - fps / jnp.maximum(n, 1.0)
+    jmax = jnp.max(jnp.where(cand, j, -jnp.inf))
+    sel = cand & (j >= jmax - _J_MARGIN)
+    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    slot = jnp.where(sel, rank, k)  # out-of-range -> dropped
+    out_tps = jnp.zeros(k, jnp.float32).at[slot].set(tps, mode="drop")
+    out_fps = jnp.zeros(k, jnp.float32).at[slot].set(fps, mode="drop")
+    out_s = jnp.zeros(k, jnp.float32).at[slot].set(s, mode="drop")
+    return {
+        "tps": out_tps, "fps": out_fps, "score": out_s,
+        "count": jnp.sum(sel.astype(jnp.int32)), "m": m, "n": n,
+    }
+
+
+_J_MARGIN = 1e-5
 
 
 @jax.jit

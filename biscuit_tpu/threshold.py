@@ -12,8 +12,15 @@ aggregation min/max/mean at threshold.py:544-550, uint8 group-label cast at
   reference's O(groups x rows) Python loops,
 * ROC/Youden math comes from :mod:`biscuit_tpu.stats.roc` (sklearn-identical
   conventions, see that module),
-* an optional accelerated path computes group means and threshold searches
-  on-device via :mod:`biscuit_tpu.ops.roc_jax` for multi-million-tile frames.
+* ``detect`` and ``apply`` take a ``backend`` argument ("host", "device", or
+  None = auto): the device backend
+  (:mod:`biscuit_tpu.ops.threshold_device`, built on
+  :mod:`biscuit_tpu.ops.roc_jax`) runs the group means, threshold searches
+  and final AUC as one fused XLA program. Auto-dispatch picks the device
+  for frames with >= ``BISCUIT_DEVICE_STATS_MIN_ROWS`` rows (default
+  500k) and can be forced either way with ``BISCUIT_DEVICE_STATS=1/0``.
+  The host path remains the default for small frames and for calls the
+  device backend punts on (``plot=True`` in detect, degenerate inputs).
 
 Deliberate deviations (documented in SURVEY.md §2.2):
 * NaN group keys are excluded with ``pd.notna`` rather than ``is not np.nan``.
@@ -42,6 +49,30 @@ __all__ = [
 ]
 
 _FLOAT_TYPES = (float, np.float16, np.float32, np.float64)
+
+
+def _dispatch_device(df, backend, plot) -> bool:
+    """Whether this call should run on the device-stats backend.
+
+    Explicit ``backend`` wins; otherwise ``BISCUIT_DEVICE_STATS`` (1/0)
+    forces it globally; otherwise frames with >=
+    ``BISCUIT_DEVICE_STATS_MIN_ROWS`` rows (default 500k) go to the device.
+    """
+    import os
+
+    if backend == "host":
+        return False
+    if backend == "device":
+        return True
+    if backend is not None:
+        raise ValueError(f"backend must be 'host', 'device' or None: {backend}")
+    env = os.environ.get("BISCUIT_DEVICE_STATS")
+    if env is not None:
+        return env not in ("0", "", "false")
+    if plot:
+        return False
+    min_rows = int(os.environ.get("BISCUIT_DEVICE_STATS_MIN_ROWS", 500_000))
+    return len(df) >= min_rows
 
 
 # ---------------------------------------------------------------------------
@@ -173,16 +204,30 @@ def apply(
     title=None,
     patients=None,
     level="slide",
+    backend=None,
 ):
     """Apply pre-calculated tile- and group-level uncertainty thresholds.
 
     Mirrors threshold.py:248-361. Returns (results dict with keys auc,
     percent_incl, acc, sensitivity, specificity; thresholded group-level
     DataFrame). Zero/None thresholds skip the respective filter (reference
-    truthiness semantics).
+    truthiness semantics). ``backend`` selects the host or device stats
+    path (module docstring); results agree to ~1e-6.
     """
     assert keep in ("high_confidence", "low_confidence")
     assert not (level == "patient" and patients is None)
+
+    if _dispatch_device(df, backend, plot=False):
+        from .ops import threshold_device
+
+        try:
+            return threshold_device.apply_device(
+                df, tile_uq, slide_uq, tile_pred=tile_pred,
+                slide_pred=slide_pred, plot=plot, keep=keep, title=title,
+                patients=patients, level=level,
+            )
+        except threshold_device.HostFallback as e:
+            log.debug(f"Device stats backend fell back to host: {e}")
 
     log.debug(f"Applying tile UQ threshold of {tile_uq:.5f}")
     if patients:
@@ -252,6 +297,7 @@ def detect(
     slide_pred="detect",
     plot=False,
     patients=None,
+    backend=None,
 ):
     """Detect optimal tile- and slide-level uncertainty thresholds.
 
@@ -259,12 +305,24 @@ def detect(
     point of the ROC of uncertainty vs. incorrectness. Non-'detect',
     non-float ``tile_uq`` disables tile filtering; non-'detect' ``slide_uq``
     falls back to 0.5 (reference quirk, threshold.py:461-463).
+    ``backend`` selects the host or device stats path (module docstring);
+    results agree to ~1e-6.
 
     Returns:
         (thresholds dict with keys tile_uq/slide_uq/tile_pred/slide_pred,
          slide-level AUROC)
     """
     log.debug("Detecting thresholds...")
+    if _dispatch_device(df, backend, plot=plot):
+        from .ops import threshold_device
+
+        try:
+            return threshold_device.detect_device(
+                df, tile_uq=tile_uq, slide_uq=slide_uq, tile_pred=tile_pred,
+                slide_pred=slide_pred, plot=plot, patients=patients,
+            )
+        except threshold_device.HostFallback as e:
+            log.debug(f"Device stats backend fell back to host: {e}")
     empty_thresh = {k: None for k in (
         "tile_uq", "slide_uq", "tile_pred", "slide_pred")}
     try:

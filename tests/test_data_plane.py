@@ -175,6 +175,36 @@ class TestAugment:
         b = np.asarray(augment_batch(imgs, jax.random.PRNGKey(7)))
         np.testing.assert_array_equal(a, b)
 
+    def test_blur_standardize_commute(self):
+        """Augmentation-order deviation (augment.py module docstring): we
+        standardize then augment; slideflow augments first. Blur has a
+        normalized kernel, so in the image interior it commutes with the
+        affine per-image standardization: blur(std(x)) == std-parameters-
+        of-x applied to blur(x). At the <=3-pixel boundary band the SAME
+        zero padding breaks the additive part (padding pulls toward 0 =
+        the image mean in standardized space, vs 0 = black in image
+        space) — the documented residual deviation."""
+        import jax.numpy as jnp
+
+        from biscuit_tpu.data.augment import _blur_batch
+
+        rng = np.random.default_rng(11)
+        imgs = rng.uniform(0, 255, (4, 16, 16, 3)).astype(np.float32)
+        mean = imgs.mean(axis=(1, 2, 3), keepdims=True)
+        std = imgs.std(axis=(1, 2, 3), keepdims=True)
+        sigma_idx = np.array([0, 1, 2, 3])
+        apply = np.ones(4, bool)
+        blur = lambda x: np.asarray(  # noqa: E731
+            _blur_batch(jnp.asarray(x), jnp.asarray(sigma_idx),
+                        jnp.asarray(apply)))
+        lhs = blur((imgs - mean) / std)          # standardize-then-augment
+        rhs = (blur(imgs) - mean) / std          # augment-then-affine
+        m = 3  # kernel radius: full support -> exact commutation
+        np.testing.assert_allclose(lhs[:, m:-m, m:-m], rhs[:, m:-m, m:-m],
+                                   atol=1e-4)
+        # The edge band genuinely differs (zero-padding asymmetry).
+        assert np.abs(lhs[:, 0] - rhs[:, 0]).max() > 1e-3
+
     def test_jpeg_host_aug(self):
         from biscuit_tpu.data.augment import jpeg_augment_host
 

@@ -278,3 +278,40 @@ class TestNestedCV:
         assert len(df) == 2  # one row per outer fold
         assert set(df["uq"]) == {"include"}
         assert ((df["patient_uq_perc"] > 0) & (df["patient_uq_perc"] <= 1)).all()
+
+    def test_thresholds_from_nested_cv_device_backend(self, nested,
+                                                      monkeypatch):
+        """VERDICT r2 item 1: nested-CV threshold derivation end-to-end
+        through the device-stats backend (BISCUIT_DEVICE_STATS=1 routes
+        every detect/apply through ops.threshold_device), matching the
+        host-backend run to 1e-6."""
+        import numpy as np
+        from biscuit_tpu.ops import threshold_device
+
+        host_df, host_thresh = nested.thresholds_from_nested_cv(
+            "EXP_N_UQ", outer_k=2, inner_k=2
+        )
+        served = []
+        real = threshold_device.detect_device
+
+        def spy(df, **kwargs):
+            out = real(df, **kwargs)
+            served.append(len(df))
+            return out
+
+        monkeypatch.setattr(threshold_device, "detect_device", spy)
+        monkeypatch.setenv("BISCUIT_DEVICE_STATS", "1")
+        dev_df, dev_thresh = nested.thresholds_from_nested_cv(
+            "EXP_N_UQ", outer_k=2, inner_k=2
+        )
+        assert served, "device backend never engaged"
+        for k in ("tile_uq", "slide_uq", "slide_pred"):
+            np.testing.assert_allclose(
+                dev_thresh[k], host_thresh[k], atol=1e-6, err_msg=k
+            )
+        for col in ("patient_auc", "patient_uq_perc", "slide_auc",
+                    "slide_uq_perc"):
+            np.testing.assert_allclose(
+                dev_df[col].to_numpy(np.float64),
+                host_df[col].to_numpy(np.float64), atol=1e-6, err_msg=col,
+            )

@@ -39,13 +39,19 @@ def _flax_to_keras(params, batch_stats, arch):
                 "pointwise_kernel": pw,
             }
         else:
+            from biscuit_tpu.models.pretrained import (
+                _FLAX_BN_EPS, _KERAS_BN_EPS)
+
             out[keras_name] = {
                 "gamma": get(params["backbone"], flax_path + ("scale",)),
                 "beta": get(params["backbone"], flax_path + ("bias",)),
                 "moving_mean": get(batch_stats["backbone"],
                                    flax_path + ("mean",)),
+                # Inverse of the converter's epsilon compensation
+                # (Keras BN eps 1e-3 vs flax 1e-5).
                 "moving_variance": get(batch_stats["backbone"],
-                                       flax_path + ("var",)),
+                                       flax_path + ("var",))
+                - (_KERAS_BN_EPS - _FLAX_BN_EPS),
             }
     return out
 
@@ -133,7 +139,9 @@ class TestNameMap:
             keras_layer_map("resnet50")
 
 
-def _assert_trees_equal(a, b):
+def _assert_trees_equal(a, b, atol=0.0):
+    """Bitwise by default; batch_stats comparisons pass atol because the
+    BN-epsilon round trip ((var - shift) + shift) is one f32 rounding."""
     import jax
 
     flat_a = jax.tree_util.tree_leaves_with_path(a)
@@ -141,8 +149,12 @@ def _assert_trees_equal(a, b):
     assert len(flat_a) == len(flat_b)
     for (pa, la), (pb, lb) in zip(flat_a, flat_b):
         assert pa == pb
-        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
-                                      err_msg=str(pa))
+        if atol:
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=atol, err_msg=str(pa))
+        else:
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=str(pa))
 
 
 class TestRoundTrip:
@@ -156,7 +168,7 @@ class TestRoundTrip:
         _write_npz(path, _flax_to_keras(p1, bs1, model.arch))
         p2, bs2 = load_pretrained(p0, bs0, path, arch=model.arch)
         _assert_trees_equal(p2["backbone"], p1["backbone"])
-        _assert_trees_equal(bs2["backbone"], bs1["backbone"])
+        _assert_trees_equal(bs2["backbone"], bs1["backbone"], atol=1e-7)
         _assert_trees_equal(p2["head"], p0["head"])  # head untouched
 
     def test_h5_round_trip(self, tiny_inits, tmp_path):
@@ -167,7 +179,7 @@ class TestRoundTrip:
         _write_h5(path, _flax_to_keras(p1, bs1, model.arch))
         p2, bs2 = load_pretrained(p0, bs0, path, arch=model.arch)
         _assert_trees_equal(p2["backbone"], p1["backbone"])
-        _assert_trees_equal(bs2["backbone"], bs1["backbone"])
+        _assert_trees_equal(bs2["backbone"], bs1["backbone"], atol=1e-7)
 
     def test_loaded_model_runs(self, tiny_inits, tmp_path):
         """Converted weights produce the donor's forward outputs."""
