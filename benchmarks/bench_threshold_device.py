@@ -27,12 +27,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_frame(n_tiles, n_slides, seed=0):
+    """Realistic UQ frame: ~4% of slides are confidently wrong (flipped
+    predictions, low uncertainty) so slide-level incorrect predictions
+    survive the tile filter and all four threshold searches execute."""
     rng = np.random.default_rng(seed)
     slide_ids = rng.integers(0, n_slides, n_tiles)
     y = (slide_ids % 2).astype(np.float64)
-    yp = np.clip(y + rng.standard_normal(n_tiles) * 0.35, 0, 1)
-    uq = np.clip(0.05 + 0.4 * np.abs(yp - y)
-                 + rng.standard_normal(n_tiles) * 0.05, 1e-4, None)
+    flipped = (slide_ids % 50) < 2
+    target = np.where(flipped, 1.0 - y, y)
+    yp = np.clip(target + rng.standard_normal(n_tiles) * 0.35, 0, 1)
+    uq = np.clip(
+        0.05 + np.where(flipped, 0.0, 0.4 * np.abs(yp - y))
+        + rng.standard_normal(n_tiles) * 0.05, 1e-4, None)
     return pd.DataFrame({
         "slide": pd.Series(slide_ids).map(lambda s: f"slide{s}"),
         "patient": pd.Series(slide_ids).map(lambda s: f"pt{s}"),
@@ -58,7 +64,7 @@ def main():
     host = th.detect(df.copy(), backend="host")
     t_host = time.perf_counter() - t0
     print(f"host detect:            {t_host*1e3:9.1f} ms  "
-          f"thresholds={ {k: round(v, 6) for k, v in host[0].items()} }")
+          f"thresholds={ {k: (round(v, 6) if v is not None else None) for k, v in host[0].items()} }")
 
     # Device detect (cold: includes compile)
     t0 = time.perf_counter()
@@ -73,32 +79,41 @@ def main():
     t_warm = min(times)
     print(f"device detect cold:     {t_cold*1e3:9.1f} ms")
     print(f"device detect warm e2e: {t_warm*1e3:9.1f} ms  "
-          f"thresholds={ {k: round(v, 6) for k, v in dev[0].items()} }")
+          f"thresholds={ {k: (round(v, 6) if v is not None else None) for k, v in dev[0].items()} }")
     for k in ("tile_uq", "slide_uq", "tile_pred", "slide_pred"):
-        assert abs(host[0][k] - dev[0][k]) <= 1e-6, (k, host[0][k], dev[0][k])
+        h, d = host[0][k], dev[0][k]
+        assert (h is None and d is None) or h == d or abs(h - d) <= 1e-6, \
+            (k, h, d)
     assert abs(host[1] - dev[1]) <= 1e-6
 
     # Warm program time alone (arrays staged on device, scalars pulled).
+    # Inputs VARY per iteration: the remote-dispatch layer caches
+    # same-argument executions and reports absurdly fast times otherwise
+    # (CLAUDE.md gotcha; the r2 "0.07 ms apply" figure was this artifact).
     from biscuit_tpu.ops import threshold_device as td
 
     yt, yp, u, seg, mask, keyed, levels, segs = td._prepare(df, "slide")
     tp_stage, tu_stage, g_stage = td._programs()
-    yt, yp, u, seg, mask, keyed = map(jax.device_put,
-                                      (yt, yp, u, seg, mask, keyed))
+    yt, seg, mask, keyed = map(jax.device_put, (yt, seg, mask, keyed))
+    variants = [
+        (jax.device_put(yp * (1.0 + 1e-6 * i)),
+         jax.device_put(u * (1.0 + 1e-6 * i)))
+        for i in range(4)
+    ]
 
-    def program_only():
-        tp = td._resolve_youden(tp_stage(yt, yp, mask))
+    def program_only(ypv, uv):
+        tp = td._resolve_youden(tp_stage(yt, ypv, mask))
         tu = td._resolve_youden(
-            tu_stage(yt, yp, u, mask, np.float32(tp)))
-        g = g_stage(yt, yp, u, seg, keyed, np.float32(tu),
+            tu_stage(yt, ypv, uv, mask, np.float32(tp)))
+        g = g_stage(yt, ypv, uv, seg, keyed, np.float32(tu),
                     num_segments=segs, tu_on=True)
         return {k: np.asarray(v) for k, v in g.items()}
 
-    program_only()
+    program_only(*variants[0])
     times = []
-    for _ in range(5):
+    for ypv, uv in variants[1:]:
         t0 = time.perf_counter()
-        program_only()
+        program_only(ypv, uv)
         times.append(time.perf_counter() - t0)
     t_prog = min(times)
     print(f"device programs (staged): {t_prog*1e3:7.1f} ms  "

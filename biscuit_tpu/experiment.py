@@ -216,12 +216,21 @@ class Experiment:
             **merged,
         )
 
-    def train_nested_cv(self, hp, label, outer_k=3, inner_k=5, **kwargs):
+    def train_nested_cv(self, hp, label, outer_k=3, inner_k=5,
+                        scheduler=None, **kwargs):
         """Nested cross-validation: for each outer fold's training slides,
-        run an inner k-fold (experiment.py:1053-1090); idempotent."""
+        run an inner k-fold (experiment.py:1053-1090); idempotent.
+
+        With a :class:`parallel.scheduler.SubmeshScheduler`, each (outer,
+        inner) fold becomes an independent task on its own device submesh
+        — step 4 is the largest training volume of the published protocol
+        (outer_k x inner_k models per size; ADVICE r2) and inner folds
+        share no artifacts beyond the lock-guarded splits JSON, the same
+        concurrency contract as the step 1-3 per-fold dispatch."""
         k_models = utils.find_cv(
             self.train_project, label, k=outer_k, outcome=self.outcome
         )
+        tasks = []
         for ki, k_model in enumerate(k_models):
             inner_to_run = [
                 k for k in range(1, inner_k + 1)
@@ -243,15 +252,31 @@ class Experiment:
             train_slides = utils.get_slides_from_model_manifest(
                 k_model, dataset="training"
             )
-            self.train(
-                hp=hp,
-                label=f"{label}-k{ki + 1}",
-                filters={"slide": train_slides},
-                val_k_fold=inner_k,
-                val_k=inner_to_run,
-                save_model=False,
-                **kwargs,
-            )
+            if scheduler is None:
+                self.train(
+                    hp=hp,
+                    label=f"{label}-k{ki + 1}",
+                    filters={"slide": train_slides},
+                    val_k_fold=inner_k,
+                    val_k=inner_to_run,
+                    save_model=False,
+                    **kwargs,
+                )
+            else:
+                for k in inner_to_run:
+                    tasks.append(
+                        lambda mesh, hp=hp.copy(), ki=ki, k=k,
+                        ts=train_slides, kw=dict(kwargs):
+                        self.train(
+                            hp=hp, label=f"{label}-k{ki + 1}",
+                            filters={"slide": ts}, val_k_fold=inner_k,
+                            val_k=[k], save_model=False, mesh=mesh, **kw,
+                        )
+                    )
+        if scheduler is not None and tasks:
+            for r in scheduler.run(tasks):
+                if isinstance(r, Exception):
+                    raise r
 
     # ------------------------------------------------------------------
     # The 6-step protocol
@@ -382,6 +407,7 @@ class Experiment:
                         label=f"EXP_{exp}_UQ",
                         val_strategy="k-fold",
                         splits=f"splits_{exp}_nested.json",
+                        scheduler=scheduler,
                     )
                 else:
                     print(f"[Step 4] Skipping UQ for {exp}, need >=50 slides")

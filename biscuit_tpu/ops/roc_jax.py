@@ -47,11 +47,14 @@ def _midranks(x: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(n)
     is_start = jnp.concatenate([jnp.array([True]), z[1:] != z[:-1]])
     is_end = jnp.concatenate([z[1:] != z[:-1], jnp.array([True])])
-    start_idx = jnp.maximum.accumulate(jnp.where(is_start, idx, -1))
-    # last index of each run, scanned from the right
-    end_idx = jnp.flip(
-        jnp.minimum.accumulate(jnp.flip(jnp.where(is_end, idx, n)))
-    )
+    # Run boundaries via cumsum-rank + sort + gather, not
+    # maximum.accumulate (quadratic reduce_window on TPU — see
+    # youden_candidates_jax). Every position lies inside a run, so the
+    # rank indices are always in range.
+    sidx = jnp.sort(jnp.where(is_start, idx, n))
+    start_idx = sidx[jnp.cumsum(is_start.astype(jnp.int32)) - 1]
+    eidx = jnp.sort(jnp.where(is_end, idx, n))
+    end_idx = eidx[jnp.cumsum(is_end.astype(jnp.int32)) - is_end]
     mid = 0.5 * (start_idx + end_idx) + 1.0
     out = jnp.zeros(n, x.dtype if jnp.issubdtype(x.dtype, jnp.floating)
                     else jnp.float32)
@@ -86,7 +89,8 @@ def auc_jax(y_true: jnp.ndarray, y_score: jnp.ndarray,
 
 def _cum_curve(y_true, y_score, mask):
     """Shared prefix: descending-sorted cumulative tps/fps with duplicate
-    and padded positions flagged. Returns (tps, fps, sorted_scores, valid)."""
+    and padded positions flagged. Returns (tps, fps, sorted_scores, valid,
+    sorted_mask)."""
     y_true = y_true.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
     score = jnp.where(mask > 0, y_score, -jnp.inf)
@@ -101,7 +105,7 @@ def _cum_curve(y_true, y_score, mask):
     n = s.shape[0]
     is_last = jnp.concatenate([s[:-1] != s[1:], jnp.array([True])])
     valid = is_last & (v > 0)
-    return tps, fps, s, valid
+    return tps, fps, s, valid, v
 
 
 @jax.jit
@@ -111,7 +115,7 @@ def youden_threshold_jax(y_true, y_score, mask=None):
     where auc_j is J at the optimum."""
     if mask is None:
         mask = jnp.ones(y_score.shape, jnp.float32)
-    tps, fps, s, valid = _cum_curve(y_true, y_score, mask)
+    tps, fps, s, valid, _v = _cum_curve(y_true, y_score, mask)
     m = tps[-1]
     n = fps[-1]
     tpr = tps / jnp.maximum(m, 1.0)
@@ -145,47 +149,66 @@ def youden_candidates_jax(y_true, y_score, mask=None, k: int = 128):
 
     sklearn's ``drop_intermediate`` pruning is replicated (collinear
     interior points are excluded) because a pruned position can tie the
-    maximum and must not be selectable.
+    maximum and must not be selectable: each returned candidate carries a
+    ``keep`` flag (False = pruned) the caller filters on.
 
     Counts are exact in f32 for n <= 2**24 rows.
 
-    Returns dict: tps/fps/score (k,), count, m, n. Positions beyond k are
-    dropped (caller checks count <= k).
+    Returns dict: tps/fps/score/keep (k,), count (selected positions
+    INCLUDING pruned ones — overflow indicator only), m, n. Positions
+    beyond k are dropped (caller checks count <= k).
     """
     if mask is None:
         mask = jnp.ones(y_score.shape, jnp.float32)
-    tps, fps, s, valid = _cum_curve(y_true, y_score, mask)
+    tps, fps, s, valid, v = _cum_curve(y_true, y_score, mask)
     n_rows = s.shape[0]
     m = tps[-1]
     n = fps[-1]
 
-    # drop_intermediate over the compressed (valid-position) sequence:
-    # keep position i unless both second differences w.r.t. its previous
-    # and next valid neighbors vanish (sklearn roc_curve's np.diff(..., 2)).
+    # TPU cost discipline: everything below is argsort/cumsum (already in
+    # _cum_curve), one int sort, and K-sized gathers/searchsorteds. NO
+    # scatters (serialize on the scalar core: ~4 us/row) and NO
+    # jnp.*.accumulate (lowers to a quadratic reduce_window: measured
+    # ~7.5 s at 2M rows).
+    #
+    # J maximum over valid positions. Pruned (collinear-interior)
+    # positions never carry a strict maximum — on a straight run J is
+    # linear, so run endpoints bound it — hence jmax over valid equals
+    # jmax over the pruned curve and pruning can be deferred to the
+    # candidate set.
     idx = jnp.arange(n_rows)
-    prev_i = jnp.maximum.accumulate(jnp.where(valid, idx, -1))
-    prev = jnp.concatenate([jnp.array([-1]), prev_i[:-1]])
-    next_i = jnp.flip(jnp.minimum.accumulate(
-        jnp.flip(jnp.where(valid, idx, n_rows))))
-    nxt = jnp.concatenate([next_i[1:], jnp.array([n_rows])])
-    has_both = (prev >= 0) & (nxt < n_rows)
+    j = tps / jnp.maximum(m, 1.0) - fps / jnp.maximum(n, 1.0)
+    jmax = jnp.max(jnp.where(valid, j, -jnp.inf))
+    sel = valid & (j >= jmax - _J_MARGIN)
+    # First k selected positions, in curve order, WITHOUT a scatter:
+    # selected rows sort to the front; the rest sort to n_rows (clamped
+    # gather reads row 0, discarded host-side via count).
+    pos = jnp.sort(jnp.where(sel, idx, n_rows))[:k]
+    posc = jnp.clip(pos, 0, n_rows - 1)
+
+    # sklearn drop_intermediate, evaluated ONLY at the k candidates: keep
+    # a candidate unless both second differences w.r.t. its compressed
+    # (valid-position) neighbors vanish. Candidates are run ends, so the
+    # previous valid position is run_start-1 and the next valid position
+    # is the end of the following run — both found with binary searches
+    # on the ascending key t = -s.
+    t = -s
+    tc = t[posc]
+    run_start = jnp.searchsorted(t, tc, side="left")
+    nxt_val = t[jnp.clip(posc + 1, 0, n_rows - 1)]
+    nxt_end = jnp.searchsorted(t, nxt_val, side="right") - 1
+    prev = run_start - 1
+    next_valid = (posc + 1 < n_rows) & (v[jnp.clip(posc + 1, 0, n_rows - 1)]
+                                        > 0)
+    has_both = (prev >= 0) & next_valid
     pc = jnp.clip(prev, 0, n_rows - 1)
-    nc = jnp.clip(nxt, 0, n_rows - 1)
-    d2f = fps[nc] - 2.0 * fps + fps[pc]
-    d2t = tps[nc] - 2.0 * tps + tps[pc]
+    nc = jnp.clip(nxt_end, 0, n_rows - 1)
+    d2f = fps[nc] - 2.0 * fps[posc] + fps[pc]
+    d2t = tps[nc] - 2.0 * tps[posc] + tps[pc]
     keep = jnp.where(has_both, (d2f != 0.0) | (d2t != 0.0), True)
 
-    cand = valid & keep
-    j = tps / jnp.maximum(m, 1.0) - fps / jnp.maximum(n, 1.0)
-    jmax = jnp.max(jnp.where(cand, j, -jnp.inf))
-    sel = cand & (j >= jmax - _J_MARGIN)
-    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
-    slot = jnp.where(sel, rank, k)  # out-of-range -> dropped
-    out_tps = jnp.zeros(k, jnp.float32).at[slot].set(tps, mode="drop")
-    out_fps = jnp.zeros(k, jnp.float32).at[slot].set(fps, mode="drop")
-    out_s = jnp.zeros(k, jnp.float32).at[slot].set(s, mode="drop")
     return {
-        "tps": out_tps, "fps": out_fps, "score": out_s,
+        "tps": tps[posc], "fps": fps[posc], "score": s[posc], "keep": keep,
         "count": jnp.sum(sel.astype(jnp.int32)), "m": m, "n": n,
     }
 

@@ -127,16 +127,20 @@ def _resolve_youden(cand) -> float:
     contract) and :class:`HostFallback` if the candidate buffer overflowed
     (pathological tie runs; the host path handles those).
     """
-    m = float(cand["m"])
-    n = float(cand["n"])
+    import jax
+
+    pulled = jax.device_get(cand)  # ONE device->host round trip
+    m = float(pulled["m"])
+    n = float(pulled["n"])
     if m <= 0 or n <= 0:
         raise ValueError("Youden J undefined: single-class ROC curve")
-    count = int(cand["count"])
+    count = int(pulled["count"])
     if count > _CAND_K:
         raise HostFallback(f"youden candidate overflow ({count})")
-    tps = np.asarray(cand["tps"], np.float64)[:count]
-    fps = np.asarray(cand["fps"], np.float64)[:count]
-    score = np.asarray(cand["score"], np.float64)[:count]
+    keep = pulled["keep"][:count].astype(bool)
+    tps = pulled["tps"][:count][keep].astype(np.float64)
+    fps = pulled["fps"][:count][keep].astype(np.float64)
+    score = pulled["score"][:count][keep].astype(np.float64)
     j = np.r_[0.0, tps / m - fps / n]
     score = np.r_[np.inf, score]
     return float(score[np.argmax(j)])
@@ -179,11 +183,26 @@ def _make_programs():
     def group_stage(yt, yp, u, seg, keyed, tile_uq, num_segments, tu_on):
         """Tile-UQ filter + tile->group segment reduction
         (threshold.py:189-204 on-chip). ``keyed`` excludes NaN-keyed and
-        padded rows."""
+        padded rows.
+
+        The reduction is a one-hot matmul on the MXU, not segment_sum:
+        XLA fuses the one-hot generation into the dot (never materializing
+        the (N, num_segments) matrix) and the MXU runs it in ~13 ms at
+        2M x 512 on v5e vs ~73 ms for the scatter-add-based segment_sum
+        path. Precision.HIGHEST keeps f32 multiplies (the MXU default
+        downcasts to bf16: measured 3.6e-5 mean error vs 3e-8 with
+        HIGHEST + the two-pass residual correction)."""
+        P = jax.lax.Precision.HIGHEST
         tmask = keyed * (u < tile_uq) if tu_on else keyed
-        gyp, counts = _segment_mean2(yp, seg, num_segments, tmask)
-        gyt, _ = _segment_mean2(yt, seg, num_segments, tmask)
-        gu, _ = _segment_mean2(u, seg, num_segments, tmask)
+        oh = jax.nn.one_hot(seg, num_segments, dtype=jnp.float32)
+        m1 = jnp.stack([tmask, yp * tmask, yt * tmask, u * tmask])
+        sums = jnp.matmul(m1, oh, precision=P)
+        counts = sums[0]
+        denom = jnp.maximum(counts, 1.0)
+        first = sums[1:] / denom
+        resid = jnp.stack([yp, yt, u]) - first[:, seg]
+        means = first + jnp.matmul(resid * tmask, oh, precision=P) / denom
+        gyp, gyt, gu = means[0], means[1], means[2]
         return {
             # uint8 label-cast parity with guarded floor (roc_jax.group_reduce
             # docstring: reciprocal-multiply division on TPU).
@@ -203,8 +222,31 @@ _programs_cache = None
 def _programs():
     global _programs_cache
     if _programs_cache is None:
+        _enable_persistent_compile_cache()
         _programs_cache = _make_programs()
     return _programs_cache
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX at the on-disk compilation cache (same dir the test
+    conftest uses) unless one is already configured or disabled via
+    BISCUIT_NO_COMPILE_CACHE=1. Remote (tunnel) compiles of the stage
+    programs run minutes; the disk cache makes them one-time per
+    machine."""
+    import os
+
+    if os.environ.get("BISCUIT_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("BISCUIT_JAX_CACHE",
+                       os.path.expanduser("~/.cache/biscuit_jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def _precheck(df):
@@ -265,7 +307,9 @@ def _tile_stages(df, tile_pred, tile_uq, level):
         np.float32(tile_uq if tu_mode != "off" else 0.0),
         num_segments=segs, tu_on=(tu_mode != "off"),
     )
-    g = {k: np.asarray(v) for k, v in g.items()}
+    import jax
+
+    g = jax.device_get(g)  # ONE round trip for the whole group table
     log.debug(f"Number of tiles after filter: {int(g['n_tiles'])}")
     return tile_pred, tile_uq, tu_mode, g, levels
 

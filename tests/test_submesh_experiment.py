@@ -157,3 +157,45 @@ class TestSubmeshFailureSemantics:
         for k in (1, 2, 3):
             m = utils.find_model(P, "EXP_ZC", outcome="cohort", kfold=k)
             assert os.path.exists(join(m, "results_log.csv"))
+
+
+class TestNestedCVSubmesh:
+    def test_nested_cv_dispatches_inner_folds(self, tmp_path):
+        """ADVICE r2: step 4 (nested UQ CV — the largest training volume
+        of the published protocol) dispatches its (outer, inner) folds
+        through the SubmeshScheduler; concurrent and sequential runs
+        produce the same inner-model artifact set."""
+        from biscuit_tpu import utils
+        from biscuit_tpu.parallel.scheduler import (
+            SubmeshScheduler, partition_submeshes)
+
+        hp = tiny_hp(uq=True)
+
+        def build_and_outer(name, mesh=None):
+            P = build_project(tmp_path, name, 16, seed=0)
+            exp = Experiment(P, outcome="cohort", outcome1="LUAD",
+                             outcome2="LUSC",
+                             outdir=str(tmp_path / f"{name}_res"))
+            exp.train_kwargs = {"seed": 0}
+            exp.train(hp=hp, label="EXP_NS_UQ", val_k_fold=2, val_k=[1, 2],
+                      val_strategy="k-fold", splits="splits_NS.json",
+                      seed=0, mesh=mesh)
+            return exp
+
+        sub0 = partition_submeshes(2)[0]
+        seq = build_and_outer("nseq", mesh=sub0)
+        seq.train_nested_cv(hp=hp, label="EXP_NS_UQ", outer_k=2, inner_k=2,
+                            val_strategy="k-fold", seed=0, mesh=sub0)
+
+        par = build_and_outer("npar")
+        par.train_nested_cv(hp=hp, label="EXP_NS_UQ", outer_k=2, inner_k=2,
+                            val_strategy="k-fold", seed=0,
+                            scheduler=SubmeshScheduler(n_submeshes=2))
+
+        for exp in (seq, par):
+            for outer in (1, 2):
+                for inner in (1, 2):
+                    assert utils.model_exists(
+                        exp.train_project, f"EXP_NS_UQ-k{outer}",
+                        outcome="cohort", kfold=inner,
+                    ), (exp.train_project.root, outer, inner)
