@@ -186,6 +186,10 @@ def _load_tiff_api(lib):
     ]
     lib.bn_tiff_close.restype = None
     lib.bn_tiff_close.argtypes = [ctypes.c_void_p]
+    lib.bn_tiff_description.restype = ctypes.c_int32
+    lib.bn_tiff_description.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+    ]
     lib.bn_tiff_write_tiled.restype = ctypes.c_int
     lib.bn_tiff_write_tiled.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -199,8 +203,11 @@ class TiledTiff:
 
     Decodes only the TIFF tiles intersecting each requested region, so
     reading a 100k x 100k slide never materializes the full image (PIL
-    would). Unsupported containers (striped TIFF, Aperio JPEG2000) raise
-    OSError at open — callers fall back to PIL. Not thread-safe per
+    would). Aperio JPEG2000 levels (compression 33003 YCbCr / 33005 RGB —
+    the bulk of the real TCGA/CPTAC .svs corpus, SURVEY §2.3 E3) decode
+    through OpenJPEG (dlopen'd libopenjp2; raw tile reads + bn_j2k_decode).
+    Unsupported containers (striped TIFF; J2K when libopenjp2 is absent)
+    raise OSError at open — callers fall back to PIL. Not thread-safe per
     handle (libtiff TIFF* is stateful)."""
 
     def __init__(self, path: str, level: int = 0):
@@ -238,6 +245,19 @@ class TiledTiff:
         if n < 0:
             raise OSError(f"cannot open TIFF: {path}")
         return [(int(ws[i]), int(hs[i])) for i in range(min(n, cap))]
+
+    @staticmethod
+    def description(path: str):
+        """ImageDescription (tag 270) of directory 0, or None. Carries
+        Aperio's 'MPP = x' metadata; used when PIL cannot open the
+        container at all (J2K-compressed .svs)."""
+        lib = _load()
+        _load_tiff_api(lib)
+        buf = ctypes.create_string_buffer(65536)
+        n = lib.bn_tiff_description(path.encode(), buf, 65536)
+        if n < 0:
+            return None
+        return buf.value.decode(errors="ignore")
 
     def read_region(self, x: int, y: int, w: int, h: int) -> np.ndarray:
         """(h, w, 3) uint8 RGB at base resolution; out-of-image is zero."""

@@ -133,12 +133,12 @@ class WSI:
         self.tile_px = tile_px
         self.tile_um = tile_um
         self.roi_method = roi_method
-        self._img = Image.open(path)  # lazy: metadata only unless decoded
         # Tiled-TIFF containers (.svs, pyramidal TIFF) route pixel access
         # through the native libtiff region reader so extraction memory is
         # bounded by a tile, not the slide (PIL decodes the whole image on
-        # first pixel access — multi-GB for real WSIs). Striped/JPEG2000
-        # files fall back to PIL.
+        # first pixel access — multi-GB for real WSIs). JPEG2000 (Aperio
+        # 33003/33005) decodes natively via OpenJPEG; striped files fall
+        # back to PIL.
         self._tiled = None
         self._levels = []  # [(w, h)] per TIFF directory, fetched once
         if splitext(path)[1].lower() in (".svs", ".tif", ".tiff"):
@@ -152,7 +152,19 @@ class WSI:
                     self._levels = []
             except (OSError, ImportError):
                 self._tiled = None
-        self.width, self.height = self._img.size
+        # PIL handle for metadata (and striped-file pixel fallback). J2K
+        # .svs files are unopenable by PIL entirely — the native reader is
+        # then the only path and metadata comes from bn_tiff_description.
+        try:
+            self._img = Image.open(path)  # lazy: metadata unless decoded
+        except Exception:
+            if self._tiled is None:
+                raise
+            self._img = None
+        if self._img is not None:
+            self.width, self.height = self._img.size
+        else:
+            self.width, self.height = self._tiled.width, self._tiled.height
         self.mpp = mpp if mpp is not None else self._detect_mpp()
         # Extraction size at level 0 and stride.
         self.extract_px = max(1, int(round(tile_um / self.mpp)))
@@ -222,9 +234,16 @@ class WSI:
 
     def _detect_mpp(self) -> float:
         """MPP from Aperio ImageDescription ('|MPP = 0.25|', tag 270) or
-        TIFF resolution tags when present, else DEFAULT_MPP."""
+        TIFF resolution tags when present, else DEFAULT_MPP. When PIL
+        cannot open the container (J2K .svs), the description comes from
+        the native reader."""
         try:
-            info = dict(self._img.tag_v2) if hasattr(self._img, "tag_v2") else {}
+            if self._img is not None and hasattr(self._img, "tag_v2"):
+                info = dict(self._img.tag_v2)
+            else:
+                from .native_loader import TiledTiff
+
+                info = {270: TiledTiff.description(self.path) or ""}
             desc = info.get(270, "")
             if isinstance(desc, bytes):
                 desc = desc.decode(errors="ignore")

@@ -475,16 +475,239 @@ extern "C" long bn_read_decode_batch(
 
 
 // ---------------------------------------------------------------------------
+// JPEG2000 tile decode (OpenJPEG, loaded via dlopen)
+//
+// Aperio .svs levels use TIFF compression 33003 (J2K, YCbCr) / 33005
+// (J2K, RGB) — raw JPEG2000 codestreams in TIFF tiles, which stock
+// libtiff cannot decode (SURVEY §2.3 E3: the reference reads these via
+// libvips/OpenSlide, which delegate to openjpeg). The system ships
+// libopenjp2.so.7 but no headers, so the stable 2.x C ABI is declared
+// here and the library is dlopen'd on first use; when it is absent the
+// TIFF reader reports such files unsupported exactly as before.
+// ---------------------------------------------------------------------------
+
+#include <dlfcn.h>
+
+namespace opj {
+
+// Subset of openjpeg.h (ABI stable across 2.1-2.5 / libopenjp2.so.7).
+typedef struct {
+  uint32_t dx, dy, w, h, x0, y0, prec, bpp, sgnd, resno_decoded, factor;
+  int32_t* data;
+  uint16_t alpha;
+} image_comp_t;
+
+typedef struct {
+  uint32_t x0, y0, x1, y1, numcomps;
+  int32_t color_space;
+  image_comp_t* comps;
+  uint8_t* icc_profile_buf;
+  uint32_t icc_profile_len;
+} image_t;
+
+enum { CODEC_J2K = 0, CODEC_JP2 = 2 };
+
+typedef size_t (*stream_read_fn)(void*, size_t, void*);
+typedef int64_t (*stream_skip_fn)(int64_t, void*);
+typedef int (*stream_seek_fn)(int64_t, void*);
+typedef void (*stream_free_fn)(void*);
+
+struct Api {
+  void* (*create_decompress)(int);
+  void (*set_default_decoder_parameters)(void*);
+  int (*setup_decoder)(void*, void*);
+  void* (*stream_create)(size_t, int);
+  void (*stream_set_read_function)(void*, stream_read_fn);
+  void (*stream_set_skip_function)(void*, stream_skip_fn);
+  void (*stream_set_seek_function)(void*, stream_seek_fn);
+  void (*stream_set_user_data)(void*, void*, stream_free_fn);
+  void (*stream_set_user_data_length)(void*, uint64_t);
+  int (*read_header)(void*, void*, image_t**);
+  int (*decode)(void*, void*, image_t*);
+  int (*end_decompress)(void*, void*);
+  void (*destroy_codec)(void*);
+  void (*stream_destroy)(void*);
+  void (*image_destroy)(image_t*);
+};
+
+static Api api;
+static bool api_ready = false;
+static bool api_tried = false;
+
+static bool load_api() {
+  if (api_tried) return api_ready;
+  api_tried = true;
+  void* h = dlopen("libopenjp2.so.7", RTLD_NOW | RTLD_LOCAL);
+  if (!h) h = dlopen("libopenjp2.so", RTLD_NOW | RTLD_LOCAL);
+  if (!h) return false;
+  auto sym = [&](const char* n) { return dlsym(h, n); };
+  api.create_decompress =
+      (void* (*)(int))sym("opj_create_decompress");
+  api.set_default_decoder_parameters =
+      (void (*)(void*))sym("opj_set_default_decoder_parameters");
+  api.setup_decoder = (int (*)(void*, void*))sym("opj_setup_decoder");
+  api.stream_create = (void* (*)(size_t, int))sym("opj_stream_create");
+  api.stream_set_read_function =
+      (void (*)(void*, stream_read_fn))sym("opj_stream_set_read_function");
+  api.stream_set_skip_function =
+      (void (*)(void*, stream_skip_fn))sym("opj_stream_set_skip_function");
+  api.stream_set_seek_function =
+      (void (*)(void*, stream_seek_fn))sym("opj_stream_set_seek_function");
+  api.stream_set_user_data =
+      (void (*)(void*, void*, stream_free_fn))sym("opj_stream_set_user_data");
+  api.stream_set_user_data_length =
+      (void (*)(void*, uint64_t))sym("opj_stream_set_user_data_length");
+  api.read_header = (int (*)(void*, void*, image_t**))sym("opj_read_header");
+  api.decode = (int (*)(void*, void*, image_t*))sym("opj_decode");
+  api.end_decompress = (int (*)(void*, void*))sym("opj_end_decompress");
+  api.destroy_codec = (void (*)(void*))sym("opj_destroy_codec");
+  api.stream_destroy = (void (*)(void*))sym("opj_stream_destroy");
+  api.image_destroy = (void (*)(image_t*))sym("opj_image_destroy");
+  api_ready = api.create_decompress && api.set_default_decoder_parameters &&
+              api.setup_decoder && api.stream_create &&
+              api.stream_set_read_function && api.stream_set_skip_function &&
+              api.stream_set_seek_function && api.stream_set_user_data &&
+              api.stream_set_user_data_length && api.read_header &&
+              api.decode && api.end_decompress && api.destroy_codec &&
+              api.stream_destroy && api.image_destroy;
+  return api_ready;
+}
+
+struct MemStream {
+  const uint8_t* buf;
+  size_t size;
+  size_t pos;
+};
+
+static size_t mem_read(void* out, size_t n, void* ud) {
+  auto* m = static_cast<MemStream*>(ud);
+  if (m->pos >= m->size) return (size_t)-1;
+  size_t take = std::min(n, m->size - m->pos);
+  memcpy(out, m->buf + m->pos, take);
+  m->pos += take;
+  return take;
+}
+
+static int64_t mem_skip(int64_t n, void* ud) {
+  auto* m = static_cast<MemStream*>(ud);
+  int64_t pos = (int64_t)m->pos + n;
+  if (pos < 0) pos = 0;
+  if (pos > (int64_t)m->size) pos = (int64_t)m->size;
+  int64_t skipped = pos - (int64_t)m->pos;
+  m->pos = (size_t)pos;
+  return skipped ? skipped : -1;
+}
+
+static int mem_seek(int64_t n, void* ud) {
+  auto* m = static_cast<MemStream*>(ud);
+  if (n < 0 || n > (int64_t)m->size) return 0;
+  m->pos = (size_t)n;
+  return 1;
+}
+
+static inline uint8_t sample8(const image_comp_t& c, uint32_t x, uint32_t y) {
+  uint32_t cx = std::min(x / std::max(c.dx, 1u), c.w ? c.w - 1 : 0);
+  uint32_t cy = std::min(y / std::max(c.dy, 1u), c.h ? c.h - 1 : 0);
+  int32_t v = c.data[(size_t)cy * c.w + cx];
+  if (c.sgnd) v += 1 << (c.prec - 1);
+  if (c.prec > 8) v >>= (c.prec - 8);
+  return (uint8_t)std::max(0, std::min(255, v));
+}
+
+}  // namespace opj
+
+// Decode one JPEG2000 codestream (raw J2K or JP2 box) into top-down RGB.
+// ycbcr != 0 applies the JPEG full-range YCbCr->RGB transform (Aperio
+// compression 33003; 33005 is RGB). Returns 0 and fills w/h on success.
+extern "C" int bn_j2k_decode(const uint8_t* buf, int64_t n, uint8_t* out,
+                             int64_t out_cap, int64_t* w, int64_t* h,
+                             int32_t ycbcr) {
+  if (!opj::load_api() || n < 12) return -1;
+  static const uint8_t jp2_magic[] = {0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50};
+  int fmt = (memcmp(buf, jp2_magic, 6) == 0) ? opj::CODEC_JP2 : opj::CODEC_J2K;
+
+  void* codec = opj::api.create_decompress(fmt);
+  if (!codec) return -2;
+  // opj_dparameters_t is ~10 KB (two 4096-char paths); a zeroed 64 KB
+  // arena avoids declaring its layout while staying ABI-safe — the
+  // library only ever writes within sizeof(opj_dparameters_t).
+  std::vector<uint8_t> params(65536, 0);
+  opj::api.set_default_decoder_parameters(params.data());
+  if (!opj::api.setup_decoder(codec, params.data())) {
+    opj::api.destroy_codec(codec);
+    return -2;
+  }
+  void* stream = opj::api.stream_create(1 << 20, 1 /* input */);
+  if (!stream) {
+    opj::api.destroy_codec(codec);
+    return -2;
+  }
+  opj::MemStream ms{buf, (size_t)n, 0};
+  opj::api.stream_set_read_function(stream, opj::mem_read);
+  opj::api.stream_set_skip_function(stream, opj::mem_skip);
+  opj::api.stream_set_seek_function(stream, opj::mem_seek);
+  opj::api.stream_set_user_data(stream, &ms, nullptr);
+  opj::api.stream_set_user_data_length(stream, (uint64_t)n);
+
+  opj::image_t* img = nullptr;
+  int rc = -3;
+  if (opj::api.read_header(stream, codec, &img) && img &&
+      opj::api.decode(codec, stream, img)) {
+    opj::api.end_decompress(codec, stream);
+    uint32_t iw = img->x1 - img->x0, ih = img->y1 - img->y0;
+    if (img->numcomps >= 1 && img->comps[0].data &&
+        (int64_t)iw * ih * 3 <= out_cap) {
+      const opj::image_comp_t* c = img->comps;
+      bool gray = img->numcomps < 3 || !c[1].data || !c[2].data;
+      for (uint32_t y = 0; y < ih; ++y) {
+        uint8_t* dst = out + (size_t)y * iw * 3;
+        for (uint32_t x = 0; x < iw; ++x, dst += 3) {
+          if (gray) {
+            uint8_t g = opj::sample8(c[0], x, y);
+            dst[0] = dst[1] = dst[2] = g;
+          } else if (ycbcr) {
+            double Y = opj::sample8(c[0], x, y);
+            double Cb = (double)opj::sample8(c[1], x, y) - 128.0;
+            double Cr = (double)opj::sample8(c[2], x, y) - 128.0;
+            auto clamp = [](double v) {
+              return (uint8_t)std::max(0.0, std::min(255.0, v + 0.5));
+            };
+            dst[0] = clamp(Y + 1.402 * Cr);
+            dst[1] = clamp(Y - 0.344136 * Cb - 0.714136 * Cr);
+            dst[2] = clamp(Y + 1.772 * Cb);
+          } else {
+            dst[0] = opj::sample8(c[0], x, y);
+            dst[1] = opj::sample8(c[1], x, y);
+            dst[2] = opj::sample8(c[2], x, y);
+          }
+        }
+      }
+      *w = iw;
+      *h = ih;
+      rc = 0;
+    }
+  }
+  if (img) opj::api.image_destroy(img);
+  opj::api.stream_destroy(stream);
+  opj::api.destroy_codec(codec);
+  return rc;
+}
+
+// 1 if JPEG2000 decode is available (libopenjp2 found), else 0.
+extern "C" int32_t bn_j2k_available() { return opj::load_api() ? 1 : 0; }
+
+// ---------------------------------------------------------------------------
 // Tiled-TIFF whole-slide region reader (libtiff)
 //
 // Real WSI containers (.svs, generic pyramidal TIFF) are tiled TIFFs with
 // JPEG-compressed tiles; loading them whole through PIL materializes a
 // multi-gigapixel RGB image in host RAM. This reader decodes only the
 // tiles intersecting a requested region, so extraction memory is bounded
-// by the region size. Aperio's JPEG2000 variants (compression 33003/5) are
-// not supported by stock libtiff and report as unsupported; the Python
-// layer then falls back to PIL. Handles are not thread-safe (libtiff's
-// TIFF* is stateful); use one handle per thread.
+// by the region size. Aperio's JPEG2000 variants (compression 33003/5)
+// are routed through bn_j2k_decode (OpenJPEG) with raw tile reads; when
+// libopenjp2 is unavailable they report as unsupported and the Python
+// layer falls back to PIL. Handles are not thread-safe (libtiff's TIFF*
+// is stateful); use one handle per thread.
 // ---------------------------------------------------------------------------
 
 #include <tiffio.h>
@@ -493,6 +716,8 @@ struct BnTiff {
   TIFF* tif;
   uint32_t width, height;
   uint32_t tile_w, tile_h;
+  bool j2k;        // Aperio compression 33003/33005 -> OpenJPEG path
+  bool j2k_ycbcr;  // 33003 stores YCbCr planes
 };
 
 // List pyramid levels (TIFF directories): fills widths/heights up to
@@ -518,6 +743,27 @@ extern "C" int32_t bn_tiff_levels(const char* path, int64_t* widths,
   return n;
 }
 
+// ImageDescription (tag 270) of directory 0 — carries Aperio's
+// 'MPP = x' metadata. Returns the string length (truncated to cap-1), or
+// -1 if the file is unopenable / has no description. Needed because PIL
+// cannot even open J2K-compressed .svs files for metadata.
+extern "C" int32_t bn_tiff_description(const char* path, char* buf,
+                                      int32_t cap) {
+  TIFFSetErrorHandler(nullptr);
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) return -1;
+  char* desc = nullptr;
+  int32_t len = -1;
+  if (TIFFGetField(tif, TIFFTAG_IMAGEDESCRIPTION, &desc) && desc) {
+    len = (int32_t)std::min<size_t>(strlen(desc), (size_t)cap - 1);
+    memcpy(buf, desc, (size_t)len);
+    buf[len] = 0;
+  }
+  TIFFClose(tif);
+  return len;
+}
+
 extern "C" void* bn_tiff_open(const char* path, int32_t level, int64_t* w,
                               int64_t* h, int32_t* tile_w, int32_t* tile_h,
                               int32_t* supported) {
@@ -532,17 +778,21 @@ extern "C" void* bn_tiff_open(const char* path, int32_t level, int64_t* w,
   }
   uint32_t iw = 0, ih = 0, tw = 0, th = 0;
   uint16_t compression = COMPRESSION_NONE;
+  uint16_t photometric = PHOTOMETRIC_RGB;
   TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &iw);
   TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &ih);
   TIFFGetField(tif, TIFFTAG_COMPRESSION, &compression);
+  TIFFGetField(tif, TIFFTAG_PHOTOMETRIC, &photometric);
   bool tiled = TIFFIsTiled(tif);
   if (tiled) {
     TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
   }
-  // 33003/33005: Aperio JPEG2000 — stock libtiff cannot decode.
+  // 33003/33005: Aperio JPEG2000 — decoded via OpenJPEG from raw tiles
+  // (33003 is YCbCr unless the photometric tag says otherwise, 33005 RGB).
+  bool j2k = compression == 33003 || compression == 33005;
   bool ok = tiled && iw && ih && tw && th &&
-            compression != 33003 && compression != 33005;
+            (!j2k || bn_j2k_available());
   *w = iw;
   *h = ih;
   *tile_w = tw;
@@ -552,7 +802,10 @@ extern "C" void* bn_tiff_open(const char* path, int32_t level, int64_t* w,
     return nullptr;
   }
   *supported = 1;
-  auto* handle = new BnTiff{tif, iw, ih, tw, th};
+  bool ycbcr = j2k && (photometric == PHOTOMETRIC_YCBCR ||
+                       (compression == 33003 &&
+                        photometric != PHOTOMETRIC_RGB));
+  auto* handle = new BnTiff{tif, iw, ih, tw, th, j2k, ycbcr};
   return handle;
 }
 
@@ -563,13 +816,51 @@ extern "C" int bn_tiff_read_region(void* vh, int64_t x0, int64_t y0,
   if (!h || rw <= 0 || rh <= 0) return -1;
   memset(out, 0, (size_t)rw * rh * 3);
   const int64_t tw = h->tile_w, th = h->tile_h;
-  std::vector<uint32_t> tile((size_t)tw * th);
+  std::vector<uint32_t> tile;
+  std::vector<uint8_t> rgb_tile, raw;
+  if (h->j2k)
+    rgb_tile.resize((size_t)tw * th * 3);
+  else
+    tile.resize((size_t)tw * th);
   int64_t tx0 = x0 < 0 ? (x0 - tw + 1) / tw : x0 / tw;
   int64_t ty0 = y0 < 0 ? (y0 - th + 1) / th : y0 / th;
   for (int64_t ty = ty0; ty * th < y0 + rh; ++ty) {
     if (ty < 0 || ty * th >= (int64_t)h->height) continue;
     for (int64_t tx = tx0; tx * tw < x0 + rw; ++tx) {
       if (tx < 0 || tx * tw >= (int64_t)h->width) continue;
+      if (h->j2k) {
+        // Raw codestream -> OpenJPEG. Decoded dims may be smaller than
+        // (tw, th) at edge tiles; the zero fill above covers the rest.
+        ttile_t tn = TIFFComputeTile(h->tif, (uint32_t)(tx * tw),
+                                     (uint32_t)(ty * th), 0, 0);
+        tmsize_t rawsz = TIFFTileSize64(h->tif);
+        uint64_t* counts = nullptr;
+        if (TIFFGetField(h->tif, TIFFTAG_TILEBYTECOUNTS, &counts) && counts)
+          rawsz = (tmsize_t)counts[tn];
+        if (rawsz <= 0) return -2;
+        raw.resize((size_t)rawsz);
+        tmsize_t got = TIFFReadRawTile(h->tif, tn, raw.data(), rawsz);
+        if (got <= 0) return -2;
+        memset(rgb_tile.data(), 0, rgb_tile.size());
+        int64_t dw = 0, dh = 0;
+        if (bn_j2k_decode(raw.data(), got, rgb_tile.data(),
+                          (int64_t)rgb_tile.size(), &dw, &dh,
+                          h->j2k_ycbcr ? 1 : 0) != 0 ||
+            dw > tw || dh > th)
+          return -2;
+        int64_t gx0 = tx * tw, gy0 = ty * th;
+        int64_t cx0 = std::max(gx0, x0), cx1 = std::min(gx0 + dw, x0 + rw);
+        int64_t cy0 = std::max(gy0, y0), cy1 = std::min(gy0 + dh, y0 + rh);
+        cx1 = std::min(cx1, (int64_t)h->width);
+        cy1 = std::min(cy1, (int64_t)h->height);
+        for (int64_t gy = cy0; gy < cy1; ++gy) {
+          const uint8_t* src =
+              rgb_tile.data() + (((gy - gy0) * dw) + (cx0 - gx0)) * 3;
+          uint8_t* dst = out + (((gy - y0) * rw) + (cx0 - x0)) * 3;
+          memcpy(dst, src, (size_t)(cx1 - cx0) * 3);
+        }
+        continue;
+      }
       // TIFFReadRGBATile fills bottom-up ABGR; rows are flipped below.
       if (!TIFFReadRGBATile(h->tif, (uint32_t)(tx * tw),
                             (uint32_t)(ty * th), tile.data()))
