@@ -192,16 +192,27 @@ def bench_e2e(jax, jnp, params, batch_stats, uq_step, device):
             infinite=True, seed=1, tile_px=299,
         )
         try:
+            import resource
+
             hit = iter(host_batcher)
             next(hit)  # warm file handles/indices
             n_host = 0
+            ru0 = resource.getrusage(resource.RUSAGE_SELF)
             t0 = time.perf_counter()
             for i in range(E2E_BATCHES):
                 n_host += int(np.asarray(next(hit)["mask"]).sum())
             host_dt = time.perf_counter() - t0
+            ru1 = resource.getrusage(resource.RUSAGE_SELF)
+            host_cpu = (ru1.ru_utime + ru1.ru_stime
+                        - ru0.ru_utime - ru0.ru_stime)
         finally:
             host_batcher.close()
-    return n / dt, n_host / host_dt
+    # CPU-seconds/tile is the machine-independent decode cost; the
+    # projection assumes linear thread scaling (measured flat at 1 core,
+    # benchmarks/bench_host_decode.py) on a co-located multi-core VM.
+    cpu_us_per_tile = host_cpu / max(n_host, 1) * 1e6
+    projected_8core = 8e6 / cpu_us_per_tile if cpu_us_per_tile else None
+    return n / dt, n_host / host_dt, cpu_us_per_tile, projected_8core
 
 
 def main():
@@ -218,11 +229,13 @@ def main():
 
     _log("companion: prefetch-fed end-to-end tile stream...")
     try:
-        e2e_tiles_per_s, host_tiles_per_s = bench_e2e(
+        (e2e_tiles_per_s, host_tiles_per_s, host_cpu_us,
+         host_proj_8core) = bench_e2e(
             jax, jnp, params, batch_stats, uq_step, device)
     except Exception as e:  # companion metric must not sink the headline
         _log(f"e2e bench failed: {e!r}")
         e2e_tiles_per_s = host_tiles_per_s = None
+        host_cpu_us = host_proj_8core = None
 
     fpt = uq_flops_per_tile("xception", tile_px=299, k=30)
     peak = peak_flops(device.device_kind)
@@ -246,6 +259,14 @@ def main():
                 "host_decode_tiles_per_s": (
                     round(host_tiles_per_s, 2)
                     if host_tiles_per_s is not None else None
+                ),
+                "host_decode_cpu_us_per_tile": (
+                    round(host_cpu_us, 1)
+                    if host_cpu_us is not None else None
+                ),
+                "host_projected_8core_tiles_per_s": (
+                    round(host_proj_8core, 0)
+                    if host_proj_8core is not None else None
                 ),
                 "mfu_pct": round(100 * mfu, 1),
                 "flops_per_tile": fpt,

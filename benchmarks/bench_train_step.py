@@ -1,0 +1,121 @@
+"""Train-step bucket breakdown at the published config (VERDICT r2 item 4).
+
+Times the B=128 training step's phases on the real chip via serialized
+in-jit prefix chains (the only honest timing through the remote tunnel —
+CLAUDE.md gotcha: both same-args-repeated and independent-dispatch
+timings lie):
+
+  P0  preprocess (uint8 -> reinhard_fast -> standardize)
+  P1  P0 + augmentation (xyrjb on-chip part)
+  P2  P1 + forward loss (train-mode Xception + head + CE)
+  P3  full step (P2 + backward + optimizer update)
+
+Phase cost = successive prefix deltas. The question the VERDICT poses:
+is the preprocess worth fusing into the train step (its input is uint8
+DATA, so no VJP is ever needed — gradients cannot flow into it), or is
+it <5% of the step (acquittal)?
+
+Run on the chip: python benchmarks/bench_train_step.py [batch]
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from biscuit_tpu.data.augment import augment_batch
+    from biscuit_tpu.data.normalize import make_normalizer
+    from biscuit_tpu.hp import nature2022
+    from biscuit_tpu.models.xception import build_model
+    from biscuit_tpu.train import trainer
+
+    hp = nature2022.copy()
+    hp.batch_size = batch
+    model = build_model(hp)
+    normalizer = make_normalizer(hp.normalizer)
+    params, batch_stats = trainer.init_model(model, hp, jax.random.PRNGKey(0))
+    tx = optax.adam(hp.learning_rate)
+    opt_state = tx.init(params)
+    print(f"device={jax.devices()[0].device_kind} batch={batch}")
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        rng.integers(0, 255, (batch, 299, 299, 3), dtype=np.uint8))
+    labels = jax.device_put(rng.integers(0, 2, (batch,)).astype(np.int32))
+    mask = jax.device_put(np.ones((batch,), np.float32))
+    params = jax.device_put(params)
+    batch_stats = jax.device_put(batch_stats)
+    opt_state = jax.device_put(opt_state)
+
+    def phase(images, key, upto, params, batch_stats, opt_state):
+        aug_key, drop_key = jax.random.split(key)
+        x = trainer.preprocess(images, normalizer)
+        if upto == 0:
+            return jnp.sum(x) * 1e-12
+        x = augment_batch(x, aug_key, augment=hp.augment)
+        if upto == 1:
+            return jnp.sum(x) * 1e-12
+
+        def loss_fn(p):
+            (logits, updates) = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"],
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.maximum(labels, 0))
+            return (ce * mask).sum() / mask.sum(), updates["batch_stats"]
+
+        if upto == 2:
+            loss, _bs = loss_fn(params)
+            return loss * 1e-12
+        (loss, _bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, _new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(b) * 1e-12, new_params, 0.0) * 1e-12
+
+    names = ["preprocess", "+augment", "+forward", "full step"]
+    prev = 0.0
+    print(f"{'prefix':12s} {'ms/iter':>9s} {'delta ms':>9s}")
+    for upto in range(4):
+        @partial(jax.jit, static_argnames=())
+        def chain(images, n, params=params, batch_stats=batch_stats,
+                  opt_state=opt_state, upto=upto):
+            def body(i, carry):
+                img, acc = carry
+                key = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                out = phase(img, key, upto, params, batch_stats, opt_state)
+                # serialize: fold the scalar back into the uint8 input
+                img = (img + (out > 1e30).astype(jnp.uint8))
+                return img, acc + out
+            img, acc = jax.lax.fori_loop(0, n, body, (images, 0.0))
+            return acc
+
+        jax.block_until_ready(chain(images, 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(images, 1))
+        a = time.perf_counter() - t0
+        iters = 6
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(images, iters))
+        b = time.perf_counter() - t0
+        per = (b - a) / (iters - 1) * 1e3
+        print(f"{names[upto]:12s} {per:9.1f} {per - prev:9.1f}")
+        prev = per
+    print(f"throughput at full step: {batch / (prev / 1e3):.0f} tiles/s "
+          f"(device compute)")
+
+
+if __name__ == "__main__":
+    main()

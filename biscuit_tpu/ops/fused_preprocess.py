@@ -24,6 +24,25 @@ Design:
 
 Inference-path only (like ops/fused_sepconv): training keeps the XLA
 normalize path whose f32 numerics the host-parity tests pin.
+
+Training-side acquittal (VERDICT r2 item 4, measured on v5e at the
+published B=128 config via serialized prefix chains —
+benchmarks/bench_train_step.py):
+
+    preprocess   4.4 ms   (3.1% of the step)
+    augment      6.5 ms   (4.6%)
+    forward     32.7 ms
+    bwd+update  96.2 ms
+    total      139.9 ms   -> 915 tiles/s device compute
+
+Preprocess is 3.1% of the train step; fusing it (saving ~2.8 ms, the
+measured inference-side delta scaled to B=128) would buy ~2% — not worth
+forking training numerics from the parity-pinned f32 chain. No VJP would
+be needed (the kernel's input is uint8 DATA; gradients never flow into
+preprocessing), so this is purely a cost/benefit call. The training
+bottleneck is the backward pass (96 ms, ~2.9x forward — the depthwise
+convs' input- and filter-gradients are each VPU-issue-bound like the
+forward, see ops/fused_sepconv.py tuning record).
 """
 
 from __future__ import annotations
