@@ -48,6 +48,27 @@ M=152 matmuls underfeed the MXU). The depthwise taps run at ~1.2 T-FMA/s
 effective — near the VPU's ~1 vector-op/cycle issue rate — which puts
 this kernel at its practical floor; further gains need compiler-level
 packed-bf16 VPU FMAs.
+
+Reformulations measured and REJECTED (r3, v5e, middle-flow geometry
+19x19x728 at B=256, chained timing; VERDICT r2 weak-7 asked for this
+record):
+* MXU tap-offload via block-diagonal grouped matmul (im2col the 9
+  shifted planes, dense (9g -> g) blocks): g=8 24.7 ms, g=56 9.7 ms,
+  g=104 9.8 ms vs XLA depthwise conv 1.29 ms — loses 7.5-19x. Two
+  structural reasons: (a) materializing 9 shifted planes is 9x HBM
+  traffic on an op that is traffic-bound to begin with, and (b) the
+  block-diagonal weight wastes a g-times-larger dense matmul on a
+  diagonal — the MXU/VPU peak ratio (~10^2) cannot pay for g >= 56
+  waste plus the im2col, and smaller g underfeeds the MXU.
+* Plain shifted-plane FMA in XLA (what the Pallas kernel does, without
+  the fusion): 2.46 ms — XLA's native depthwise conv pipeline (1.29 ms)
+  already beats naive shifted adds by 1.9x, i.e. the conv emitter is
+  within ~2x of the 9-pass VPU issue bound and there is no cheap
+  formulation gap left.
+* Two-images-per-lane packed bf16 stays unmeasurable: Mosaic exposes no
+  packed-bf16 elementwise FMA (bf16 ALU ops are unpacked to f32 lanes,
+  see the bf16-accumulation variant above), so the 2x lane-packing win
+  requires compiler support, not a kernel rewrite.
 """
 
 from __future__ import annotations
