@@ -146,17 +146,6 @@ def _resolve_youden(cand) -> float:
     return float(score[np.argmax(j)])
 
 
-def _segment_mean2(values, seg, num_segments, mask):
-    """Two-pass compensated segment mean: first-pass mean, then the mean
-    of residuals added back. Keeps f32 group means within ~1 ulp of a
-    float64 reduction (required for 1e-6 parity with pandas)."""
-    from .roc_jax import segment_mean
-
-    m1, counts = segment_mean(values, seg, num_segments, mask)
-    corr, _ = segment_mean(values - m1[seg], seg, num_segments, mask)
-    return m1 + corr, counts
-
-
 def _make_programs():
     import jax
     import jax.numpy as jnp
