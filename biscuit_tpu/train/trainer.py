@@ -91,6 +91,13 @@ def preprocess(images_u8, normalizer):
 
 def make_train_step(model, tx, hp: ModelParams, normalizer):
     from ..data.augment import augment_batch
+    from .fused_train import (
+        fused_train_applicable,
+        trunk_train_apply,
+        use_fused_train,
+    )
+
+    fused = use_fused_train() and fused_train_applicable(model)
 
     def train_step(params, batch_stats, opt_state, images, labels, mask, key):
         aug_key, drop_key = jax.random.split(key)
@@ -99,13 +106,29 @@ def make_train_step(model, tx, hp: ModelParams, normalizer):
             x = preprocess(images, normalizer)
             if hp.augment:
                 x = augment_batch(x, aug_key, augment=hp.augment)
-            (logits, updates) = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                x,
-                train=True,
-                rngs={"dropout": drop_key},
-                mutable=["batch_stats"],
-            )
+            if fused:
+                # Fused-backward trunk (train/fused_train.py): same math,
+                # single-pass Pallas unit backwards on TPU.
+                feats, bb_updates = trunk_train_apply(
+                    model.arch, p["backbone"], batch_stats["backbone"],
+                    x.astype(model.compute_dtype),
+                )
+                logits = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    feats,
+                    train=True,
+                    rngs={"dropout": drop_key},
+                    method="head_logits",
+                )
+                updates = {"batch_stats": {"backbone": bb_updates}}
+            else:
+                (logits, updates) = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x,
+                    train=True,
+                    rngs={"dropout": drop_key},
+                    mutable=["batch_stats"],
+                )
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits, jnp.maximum(labels, 0)
             )
