@@ -21,7 +21,30 @@ B=1024 headline batch). This measures alternative formulations:
                      subgradient; XLA gives it all to the first max)
 
 Chained in-jit timing (CLAUDE.md: independent dispatches lie through the
-tunnel). Results recorded below once measured.
+tunnel).
+
+Measured (v5e, B=128, r3, iters=20) — reduce_window WINS everything;
+the reformulation lever is CLOSED:
+
+    147x147x128   rw fwd 3.99 bwd  3.14 | sh9 4.36/49.6 | sep 4.51/5.43
+                  | shsep 5.08/31.8 | eqsplit bwd 99.4
+    74x74x256     rw fwd 1.37 bwd  2.77 | sh9 2.11/22.4 | sep 2.33/2.11
+                  | shsep 2.65/13.4 | eqsplit bwd 49.9
+    37x37x728     rw fwd 1.22 bwd  1.49 | sh9 1.45/15.5 | sep 1.64/2.04
+                  | shsep 1.92/ 8.5 | eqsplit bwd 36.6
+
+Conclusions:
+* XLA's reduce_window fwd, though ~3.6x off the HBM roofline, beats all
+  shifted-slice formulations: strided lane/sublane slices lower to
+  relayout chains that cost far more than the windowed reads; their
+  VJPs (dilated pads / equality-mask redistribution) are catastrophic
+  (7-30x worse than SelectAndScatter).
+* SelectAndScatter (rw bwd) is likewise the best available backward.
+* nn.max_pool stays the pool implementation in models/xception.py and
+  train/fused_train.py; the remaining pool gap is reachable only by
+  fusing the pool into a producing Pallas kernel (fused_block.py does
+  this for inference; its measured record shows the block's depthwise
+  VPU floor, not the pool, dominates).
 
 Run: python benchmarks/bench_pool_variants.py [batch]
 """

@@ -9,7 +9,7 @@ Chained in-jit timing with data dependence (CLAUDE.md: independent
 dispatches lie through the tunnel). Measured numbers are recorded here
 once the run lands.
 
-Run: python benchmarks/bench_unit_bwd.py [batch]
+Run: python benchmarks/bench_unit_bwd.py [batch] [geom_substr ...]
 """
 
 import os
@@ -64,8 +64,10 @@ def main():
         ("exitu1", 19, 728, 1024, True),
     ]
     eps = 1e-5
+    sel = sys.argv[2:]
+    geoms = [g for g in GEOMS if not sel or any(s in g[0] for s in sel)]
 
-    for name, hw, ci, co, relu_first in GEOMS:
+    for name, hw, ci, co, relu_first in geoms:
         a0 = jax.device_put(
             rng.standard_normal((batch, hw, hw, ci)).astype(np.float32)
         ).astype(jnp.bfloat16)
@@ -89,11 +91,13 @@ def main():
                 grads, 0.0)
             return (val + gsum) * 1e-12
 
+        backend = os.environ.get("BENCH_BACKEND", "pallas")
+
         def fused_fb(a, wdw=wdw, wpw=wpw, gam=gam, bet=bet,
-                     relu_first=relu_first):
+                     relu_first=relu_first, backend=backend):
             def loss(a, wdw, wpw, gam, bet):
                 y, mu, var = fub.sep_bn_unit(a, wdw, wpw, gam, bet, eps,
-                                             relu_first, "pallas")
+                                             relu_first, backend)
                 return jnp.sum(y.astype(jnp.float32))
             val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
                 a, wdw, wpw, gam, bet)

@@ -182,17 +182,21 @@ def _unit_bwd_kernel(gy_ref, p_ref, r_ref, d_ref, wflip_ref, wpwt_ref,
     gp = (g * vec[0][None, None, None, :] - vec[1][None, None, None, :]
           - xh * vec[2][None, None, None, :])
     gpb = gp.astype(jnp.bfloat16)
-    # pw dgrad on the MXU: rank-4 dot, contract CO -> (NB, H, W, CI) f32.
-    gd = jax.lax.dot_general(gpb, wpwt_ref[:], (((3,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # pw wgrad on the MXU: Mosaic only contracts single dims, so collapse
-    # (NB, H, W) via zero-padded scratches whose W is a sublane multiple
-    # (an unpadded W cannot legally reshape across the sublane boundary).
+    # MXU matmuls (pw dgrad + wgrad): Mosaic only contracts single dims
+    # and can only collapse (NB, H, WP) when the sublane dim WP is a tile
+    # multiple, so both run through zero-padded scratches (pad columns
+    # stay zero after the i==0 init; their dgrad rows are sliced off and
+    # they contribute exact zeros to the wgrad).
     gp_scr[:, :, :W, :] = gpb
     d_scr[:, :, :W, :] = d_ref[:]
+    gp_flat = gp_scr[:].reshape(NB * H * WP, CO)
+    gd = jax.lax.dot_general(
+        gp_flat, wpwt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(NB, H, WP, CI)[:, :, :W, :]
     dwpw_ref[:] += jax.lax.dot_general(
         d_scr[:].reshape(NB * H * WP, CI),
-        gp_scr[:].reshape(NB * H * WP, CO),
+        gp_flat,
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     gdpad_ref[:] = jnp.zeros(gdpad_ref.shape, jnp.float32)
@@ -312,15 +316,238 @@ def unit_bwd_pallas(gy, r, d, p, wdw, wpw, gamma, mu, var, eps,
 
 
 # ---------------------------------------------------------------------------
+# H-strip kernel: same math, strip grid + 3-row halo blocks (fused_block.py
+# recipe) so the 147x147 entry geometries fit VMEM. Values-only inside the
+# strip (no pad scratches): W-shifted tap reads become two concat-shifted
+# copies of gd / r instead of 18 unaligned pad-buffer slices.
+# ---------------------------------------------------------------------------
+
+def _shift_w(v, direction):
+    """Zero-padded W shift of (nb, L, W, C): direction=+1 -> out[j]=v[j-1]."""
+    zc = jnp.zeros(v.shape[:2] + (1,) + v.shape[3:], v.dtype)
+    if direction > 0:
+        return jnp.concatenate([zc, v[:, :, :-1, :]], axis=2)
+    return jnp.concatenate([v[:, :, 1:, :], zc], axis=2)
+
+
+def _unit_bwd_strip_kernel(
+        gy_up, gy_mid, gy_dn, p_up, p_mid, p_dn, r_up, r_mid, r_dn, d_mid,
+        wflip_ref, wpwt_ref, vec_ref, ga_ref, dwdw_ref, dwpw_ref,
+        gp_scr, d_scr, *, H, W, NB, CI, CO, hs, relu_first):
+    g_id = pl.program_id(0)
+    s = pl.program_id(1)
+    WP = gp_scr.shape[2]
+    base = s * hs - 3  # global row of strip-local row 0
+
+    @pl.when((g_id == 0) & (s == 0))
+    def _init():
+        dwdw_ref[:] = jnp.zeros_like(dwdw_ref)
+        dwpw_ref[:] = jnp.zeros_like(dwpw_ref)
+        gp_scr[:] = jnp.zeros(gp_scr.shape, gp_scr.dtype)
+        d_scr[:] = jnp.zeros(d_scr.shape, d_scr.dtype)
+
+    # Haloed strip (L = hs + 6 local rows); out-of-image rows zeroed (also
+    # neutralizes clamped edge halo blocks' wrong-row data). Only local
+    # rows [2, hs+4) matter downstream, so assemble just those (hs+2 rows:
+    # 1 halo row each side of the strip).
+    def slab(up, mid, dn):
+        x = jnp.concatenate([up[:], mid[:], dn[:]], axis=1)[:, 2:hs + 4]
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, hs + 2, 1, 1), 1) + (
+            base + 2)
+        return jnp.where((row >= 0) & (row < H), x, jnp.zeros((), x.dtype))
+
+    g = slab(gy_up, gy_mid, gy_dn).astype(jnp.float32)
+    pf = slab(p_up, p_mid, p_dn).astype(jnp.float32)
+    rs = slab(r_up, r_mid, r_dn).astype(jnp.float32)
+    vec = vec_ref[:]
+    xh = pf * vec[3][None, None, None, :] - vec[4][None, None, None, :]
+    gp = (g * vec[0][None, None, None, :] - vec[1][None, None, None, :]
+          - xh * vec[2][None, None, None, :])
+    # Out-of-image rows: g=0 but the BN backward's -B - xh*C terms are
+    # nonzero there; the slab mask zeroed pf so xh = -mu*inv exactly, and
+    # gp must be re-zeroed so halo gd rows contribute nothing.
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hs + 2, 1, 1), 1) + (
+        base + 2)
+    in_img = (row >= 0) & (row < H)
+    gp = jnp.where(in_img, gp, 0.0)
+    gpb = gp.astype(jnp.bfloat16)
+
+    # MXU matmuls through W-padded scratches (Mosaic collapses (NB, rows,
+    # WP) only when the sublane dim is a tile multiple).
+    gp_scr[:, :, :W, :] = gpb
+    # Mask the ragged last strip's out-of-image d rows: OOB block reads
+    # are undefined (NaN in interpret mode) and 0 * NaN = NaN in dwpw.
+    row_mid = jax.lax.broadcasted_iota(jnp.int32, (1, hs, 1, 1), 1) + (
+        base + 3)
+    d_scr[:, :, :W, :] = jnp.where(row_mid < H, d_mid[:],
+                                   jnp.zeros((), d_mid.dtype))
+    gp_flat = gp_scr[:].reshape(NB * (hs + 2) * WP, CO)
+    gd = jax.lax.dot_general(
+        gp_flat, wpwt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(NB, hs + 2, WP, CI)[:, :, :W, :]
+    dwpw_ref[:] += jax.lax.dot_general(
+        d_scr[:].reshape(NB * hs * WP, CI),
+        gp_scr[:, 1:hs + 1].reshape(NB * hs * WP, CO),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # Two W-shifted copies serve both the dgrad (9 taps) and wgrad (9
+    # sums): 2 relayouts total instead of 18 unaligned pad-buffer reads.
+    gd_r = _shift_w(gd, +1)   # gd_r[j] = gd[j-1]
+    gd_l = _shift_w(gd, -1)   # gd_l[j] = gd[j+1]
+    shifts = (gd_r, gd, gd_l)
+
+    wf = wflip_ref[:]
+    gr = jnp.zeros((NB, hs, W, CI), jnp.float32)
+    for u in range(3):
+        for v in range(3):
+            tap = wf[u * 3 + v, :]
+            gr += shifts[v][:, u:u + hs] * tap[None, None, None, :]
+
+    # dwdw[u,v] = sum_{strip i, j} r[i+u-1, j+v-1] * gd[i, j]: free row
+    # slices of the haloed r against the strip's gd rows (gd value rows
+    # 1..hs+1), W offsets via the same two shifted copies.
+    gd_mid = gd[:, 1:hs + 1]
+    rs_r = _shift_w(rs, +1)
+    rs_l = _shift_w(rs, -1)
+    # r[j+v-1] as a function of j: v=0 -> r[j-1] = shift-right copy.
+    r_shifts = (rs_r, rs, rs_l)
+    for u in range(3):
+        for v in range(3):
+            dwdw_ref[u * 3 + v, :] += jnp.sum(
+                r_shifts[v][:, u:u + hs] * gd_mid, axis=(0, 1, 2))
+
+    rmid = rs[:, 1:hs + 1]
+    if relu_first:
+        gr = jnp.where(rmid > 0, gr, 0.0)
+    ga_ref[:] = gr.astype(ga_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "relu_first", "hs",
+                                             "interpret"))
+def unit_bwd_pallas_strips(gy, r, d, p, wdw, wpw, gamma, mu, var, eps,
+                           relu_first, hs=24, interpret=False):
+    """Strip-grid fused unit backward: NHWC in/out, grid (N/nb, S) with
+    3-row halo blocks. Covers the large entry geometries the whole-plane
+    kernel cannot fit in VMEM. Returns (da, dwdw, dwpw, dgamma, dbeta)."""
+    N, H, W, CI = r.shape
+    CO = gy.shape[-1]
+    if H < 3 or hs % 3:
+        raise ValueError("strip kernel needs H >= 3 and hs % 3 == 0")
+    hs = min(hs, -(-H // 3) * 3)
+    inv = jax.lax.rsqrt(var + eps)
+    g32 = gy.astype(jnp.float32)
+    pf = p.astype(jnp.float32)
+    sum_g = jnp.sum(g32, axis=(0, 1, 2))
+    sum_gp = jnp.sum(g32 * pf, axis=(0, 1, 2))
+    m = N * H * W
+    sum_gx = (sum_gp - mu * sum_g) * inv
+    gamma32 = jnp.asarray(gamma, jnp.float32)
+    A = gamma32 * inv
+    vec = jnp.stack([A, A * (sum_g / m), A * (sum_gx / m), inv, mu * inv])
+
+    taps = wdw.astype(jnp.float32).reshape(9, CI)
+    wflip = taps[::-1]
+    wpwt = wpw.astype(jnp.bfloat16)[0, 0].T  # (CO, CI)
+
+    WP = -(-W // 16) * 16
+    S = -(-H // hs)
+    h3 = hs // 3
+    n3 = -(-H // 3)
+    # VMEM per image-row-strip (bf16 operand blocks double-buffered by the
+    # pipeline + f32 value slabs); pick the largest nb that divides N.
+    per_img = (2 * (hs + 6) * W * (2 * CO + 2 * CI) * 2   # operands + da
+               + (hs + 2) * WP * (CO + CI) * 2            # MXU scratches
+               + (hs + 2) * W * (2 * CO + 6 * CI) * 4)    # f32 value slabs
+    budget = 96 * 1024 * 1024
+    nb = 1
+    for cand in (8, 4, 2, 1):
+        if N % cand == 0 and cand * per_img < budget:
+            nb = cand
+            break
+
+    def mid(gi, si):
+        return (gi, si, 0, 0)
+
+    def up(gi, si):
+        return (gi, jnp.maximum(si * h3 - 1, 0), 0, 0)
+
+    def dn(gi, si):
+        return (gi, jnp.minimum(si * h3 + h3, n3 - 1), 0, 0)
+
+    def specs(C):
+        return [
+            pl.BlockSpec((nb, 3, W, C), up, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, hs, W, C), mid, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 3, W, C), dn, memory_space=pltpu.VMEM),
+        ]
+
+    const = lambda gi, si: (0, 0)  # noqa: E731
+    kern = functools.partial(_unit_bwd_strip_kernel, H=H, W=W, NB=nb,
+                             CI=CI, CO=CO, hs=hs, relu_first=relu_first)
+    da, dwdw, dwpw = pl.pallas_call(
+        kern,
+        grid=(N // nb, S),
+        in_specs=(specs(CO) + specs(CO) + specs(CI)
+                  + [pl.BlockSpec((nb, hs, W, CI), mid,
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((9, CI), const, memory_space=pltpu.VMEM),
+                     pl.BlockSpec((CO, CI), const, memory_space=pltpu.VMEM),
+                     pl.BlockSpec((5, CO), const,
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=[
+            pl.BlockSpec((nb, hs, W, CI), mid, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, CI), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CI, CO), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, W, CI), gy.dtype),
+            jax.ShapeDtypeStruct((9, CI), jnp.float32),
+            jax.ShapeDtypeStruct((CI, CO), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb, hs + 2, WP, CO), jnp.bfloat16),
+            pltpu.VMEM((nb, hs, WP, CI), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * (2 * CI * CO + 18 * CI + 6 * CO),
+            bytes_accessed=N * H * W * (2 * CO + 3 * CI) * 2,
+            transcendentals=0,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(gy, gy, gy, p, p, p, r, r, r, d, wflip, wpwt, vec)
+
+    return (da, dwdw.reshape(3, 3, 1, CI), dwpw[None, None],
+            sum_gx, sum_g)
+
+
+# ---------------------------------------------------------------------------
 # custom_vjp wrapper: the integration seam for the fused train path
 # ---------------------------------------------------------------------------
 
-def _backend_is_pallas(backend: str) -> bool:
+# Spatial sizes where the Pallas kernel is compile-proven AND measured
+# faster than the XLA composition on a real chip (benchmarks/
+# bench_unit_bwd.py; record below). Larger planes (74, 147) currently
+# OOM the Mosaic compiler: the whole H x W plane sits in one block and
+# the unaligned W-shifted tap reads unroll into huge vector programs.
+# An H-strip redesign (fused_block.py's halo recipe) would lift this.
+PALLAS_BWD_HW: frozenset = frozenset()
+
+
+def _bwd_fn(backend: str, hw: int):
     if backend == "pallas":
-        return True
+        return unit_bwd_pallas
+    if backend == "pallas_strips":
+        return unit_bwd_pallas_strips
     if backend == "reference":
-        return False
-    return jax.devices()[0].platform == "tpu"
+        return unit_bwd_reference
+    if jax.devices()[0].platform == "tpu" and hw in PALLAS_BWD_HW:
+        return unit_bwd_pallas_strips
+    return unit_bwd_reference
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -346,8 +573,7 @@ def _sep_bn_unit_fwd(a, wdw, wpw, gamma, beta, eps, relu_first, backend):
 def _sep_bn_unit_bwd(eps, relu_first, backend, res, cots):
     gy, _gmu, _gvar = cots  # mean/var cotangents ignored (see docstring)
     r, d, p, wdw, wpw, gamma, mu, var = res
-    fn = (unit_bwd_pallas if _backend_is_pallas(backend)
-          else unit_bwd_reference)
+    fn = _bwd_fn(backend, r.shape[1])
     da, dwdw, dwpw, dgamma, dbeta = fn(gy, r, d, p, wdw, wpw, gamma, mu,
                                        var, eps, relu_first)
     return (da, dwdw.astype(wdw.dtype), dwpw.astype(wpw.dtype),

@@ -98,6 +98,41 @@ class TestPallasInterpretVsReference:
         for name, o, g in zip(NAMES, pal, ref):
             assert relerr(o, g) < 2e-4, name
 
+    @pytest.mark.parametrize("relu_first", [True, False])
+    def test_strip_kernel_small(self, relu_first):
+        rng = np.random.default_rng(7)
+        a, wdw, wpw, gamma, beta, gy = make_unit(
+            rng, 4, 9, 7, 8, 16, jnp.bfloat16)
+        _, mu, var, (r, d, p) = fub.unit_fwd(a, wdw, wpw, gamma, beta, EPS,
+                                             relu_first)
+        ref = fub.unit_bwd_reference(gy, r, d, p, wdw, wpw, gamma, mu, var,
+                                     EPS, relu_first)
+        pal = fub.unit_bwd_pallas_strips(gy, r, d, p, wdw, wpw, gamma, mu,
+                                         var, EPS, relu_first, hs=3,
+                                         interpret=True)
+        # da tolerance 1e-3: the kernel's distributed-A gp factoring is
+        # ~1e-7 off the reference's, which can flip a bf16 rounding tie
+        # in the cast feeding the pw dgrad (one bf16 ulp of gd).
+        for name, o, g in zip(NAMES, pal, ref):
+            assert relerr(o, g) < (1e-3 if name == "da" else 2e-4), name
+
+    def test_strip_kernel_multi_strip_ragged(self):
+        # H=19 with hs=6 -> 4 strips, last ragged (1 row); N=16 -> 2
+        # image groups. Exercises halo clamping at both edges, the row
+        # masks, and accumulator behavior across the 2-D grid.
+        rng = np.random.default_rng(8)
+        a, wdw, wpw, gamma, beta, gy = make_unit(
+            rng, 16, 19, 13, 8, 16, jnp.bfloat16)
+        _, mu, var, (r, d, p) = fub.unit_fwd(a, wdw, wpw, gamma, beta, EPS,
+                                             True)
+        ref = fub.unit_bwd_reference(gy, r, d, p, wdw, wpw, gamma, mu, var,
+                                     EPS, True)
+        pal = fub.unit_bwd_pallas_strips(gy, r, d, p, wdw, wpw, gamma, mu,
+                                         var, EPS, True, hs=6,
+                                         interpret=True)
+        for name, o, g in zip(NAMES, pal, ref):
+            assert relerr(o, g) < (1e-3 if name == "da" else 2e-4), name
+
     def test_multi_grid_step_accumulation(self):
         # N=16 with tiny spatial -> nb=8, two sequential grid steps; the
         # weight-grad accumulators must sum across them.
