@@ -6,8 +6,10 @@ unit under (a) plain jax autodiff and (b) the custom-vjp fused backward
 trunk trains: entry0 (both units), entry1, entry2, middle, exit.
 
 Chained in-jit timing with data dependence (CLAUDE.md: independent
-dispatches lie through the tunnel). Measured numbers are recorded here
-once the run lands.
+dispatches lie through the tunnel). BENCH_BACKEND=pallas|pallas_strips
+selects the kernel design. Measured verdict (v5e, B=128): BOTH designs
+lose 0.40-0.70x to XLA autodiff at every trunk geometry — full table
+and root-cause analysis in ops/fused_unit_bwd.py's STATUS record.
 
 Run: python benchmarks/bench_unit_bwd.py [batch] [geom_substr ...]
 """

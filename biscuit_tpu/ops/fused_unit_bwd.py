@@ -39,6 +39,37 @@ fused XLA reduction pass (2 tensor reads); the Pallas kernel then makes
 one streaming pass for everything else. Total ~7 passes vs ~12 unfused,
 plus the dw taps move from XLA's conv emitter into the same pass.
 
+STATUS — correct but NOT faster than XLA autodiff, therefore OPT-IN
+(backend='pallas'/'pallas_strips'; the 'auto' gate PALLAS_BWD_HW is
+empty). Measured on v5e (B=128, chained in-jit fwd+bwd, iters=20,
+benchmarks/bench_unit_bwd.py), both kernel designs at every trunk
+geometry:
+
+    geometry              autodiff   whole-plane     strips
+    entry0u0 147^2 64>128   10.29        OOM        21.46 (0.48x)
+    entry0u1 147^2 128>128  16.01        OOM        22.85 (0.70x)
+    entry1u0 74^2 128>256    4.89    7.43 (0.65x)    8.29 (0.59x)
+    entry1u1 74^2 256>256    7.84   13.08 (0.60x)   12.31 (0.64x)
+    entry2u0 37^2 256>728    2.67    4.93 (0.62x)    5.10 (0.52x)
+    entry2u1 37^2 728>728    7.87   13.04 (0.61x)   12.77 (0.62x)
+    middle   19^2 728>728    1.75    3.85 (0.40x)    3.47 (0.51x)
+    exitu1   19^2 728>1024   2.09    4.17 (0.49x)    4.21 (0.50x)
+
+Root cause (mirrors the fused_block.py forward record): XLA's autodiff
+backward runs AT the unfused-sequence HBM roofline (entry0u1 bwd ~10 ms
+~= 12 passes x 708 MB / 819 GB/s — the dBN/relu/elementwise chains fuse
+into the conv dgrad/wgrad ops, so the naive pass count is already what
+XLA pays), while the fused kernel's theoretical ~5-pass advantage is
+consumed by in-kernel VMEM movement: 18 VPU tap passes + W-shift
+relayouts (W rides the sublane dim in NHWC, so every +-1 column shift
+is a cross-sublane copy) + MXU scratch round trips measure at 2-3x the
+kernel's own floor on BOTH designs. Beating XLA here would need the
+whole trunk in a W-untiled layout (HWNC end-to-end training), whose
+transpose cost exceeds the margin. Training therefore keeps XLA
+autodiff (train/fused_train.use_fused_train default-off); the custom
+VJP stays as the measured record, the CPU 'reference' backend for the
+multichip dryrun, and the seam for any future Mosaic packed-bf16 win.
+
 Numerics vs the flax autodiff path (deliberate, documented deviations —
 both strictly MORE precise; parity tests bound them):
   * gd is held in f32 for the depthwise taps (flax round-trips it

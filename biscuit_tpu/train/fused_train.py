@@ -17,6 +17,12 @@ BN-stats semantics — see test_fused_unit_bwd.TestCustomVjpVsFlax and
 test_fused_train.py); gradients deviate only by the documented
 more-precise f32 handling in ops/fused_unit_bwd.py.
 
+STATUS: the Pallas unit backwards measured SLOWER than XLA autodiff at
+every trunk geometry (tuning record in ops/fused_unit_bwd.py), so this
+path stays opt-in (BISCUIT_FUSED_TRAIN=1) — on TPU its units fall back
+to the 'reference' XLA composition unless PALLAS_BWD_HW lists a winning
+spatial size. Production training uses the flax autodiff path.
+
 Reference: the trunk itself is the Keras Xception of slideflow's trainer
 (SURVEY.md §2.3 E4, /root/reference/biscuit/hp.py:3-24); architecture
 layout in models/xception.py (the parity source for stage structure and
