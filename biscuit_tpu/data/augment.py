@@ -51,8 +51,10 @@ JPEG_PROB = 0.5
 JPEG_QUALITY_RANGE = (50, 100)
 
 
-def _rot90_batch(imgs: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Per-image cardinal rotation, k in {0,1,2,3}; static shapes only."""
+def _rot90_batch_switch(imgs: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Per-image cardinal rotation via vmapped lax.switch (the original
+    formulation; vmapped control flow computes ALL four branches and
+    selects — kept as the non-square fallback and bench baseline)."""
 
     def rot_one(img, kk):
         return jax.lax.switch(
@@ -69,16 +71,61 @@ def _rot90_batch(imgs: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(rot_one)(imgs, k)
 
 
+def _rot90_batch(imgs: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Per-image cardinal rotation, k in {0,1,2,3}; static shapes only.
+
+    Square images (the tile pipeline's case) use the transpose+flip
+    decomposition — one transpose and two masked flips instead of the
+    vmapped 4-branch switch (which materializes every rotation):
+    rot90^1 = flipud . T, rot90^2 = flipud . fliplr, rot90^3 = fliplr . T.
+    Bitwise-identical to jnp.rot90 (pure index permutations); pinned by
+    tests/test_data_plane.py.
+
+    Tiles are always square; odd rotations of a rectangle change its
+    shape, so (like the switch formulation, whose branches would have
+    mismatched types) this requires H == W — now an explicit error.
+    """
+    if imgs.shape[1] != imgs.shape[2]:
+        raise ValueError(
+            f"cardinal rotation augmentation needs square tiles, got "
+            f"{imgs.shape[1]}x{imgs.shape[2]}")
+    odd = (k % 2 == 1)[:, None, None, None]
+    x = jnp.where(odd, jnp.transpose(imgs, (0, 2, 1, 3)), imgs)
+    fud = ((k == 1) | (k == 2))[:, None, None, None]
+    x = jnp.where(fud, x[:, ::-1], x)
+    flr = ((k == 2) | (k == 3))[:, None, None, None]
+    return jnp.where(flr, x[:, :, ::-1], x)
+
+
 def _gaussian_kernel(sigma: float, radius: int = 3) -> np.ndarray:
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return (k / k.sum()).astype(np.float32)
 
 
+def _dihedral_batch(imgs: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
+                    k: jnp.ndarray) -> jnp.ndarray:
+    """Per-image composition rot90^k . flip_y^fy . flip_x^fx in ONE
+    dihedral-group application: a masked transpose and two masked flips
+    (3 passes) instead of two flip passes + a rotation. The (t, u, l)
+    canonical decomposition (transpose, then flip axis0, then flip
+    axis1) was derived by enumerating all 16 (fx, fy, k) combos; parity
+    is pinned bitwise in tests/test_data_plane.py."""
+    odd = k % 2 == 1
+    t = odd
+    u = ((k == 1) | (k == 2)) ^ (fy & ~odd) ^ (fx & odd)
+    lf = ((k == 2) | (k == 3)) ^ (fx & ~odd) ^ (fy & odd)
+    x = jnp.where(t[:, None, None, None],
+                  jnp.transpose(imgs, (0, 2, 1, 3)), imgs)
+    x = jnp.where(u[:, None, None, None], x[:, ::-1], x)
+    return jnp.where(lf[:, None, None, None], x[:, :, ::-1], x)
+
+
 def _blur_batch(imgs: jnp.ndarray, sigma_idx: jnp.ndarray,
                 apply: jnp.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur with a per-image random sigma, applied with
-    probability BLUR_PROB. Depthwise 1-D convs (VPU-friendly)."""
+    """Separable blur via vmapped per-image conv pairs — measured FASTER
+    than static shifted-slice FMAs on v5e (the W shifts ride the sublane
+    dim and relayout; benchmarks/bench_augment.py record)."""
     kernels = jnp.asarray(
         np.stack([_gaussian_kernel(s) for s in BLUR_SIGMAS]), jnp.float32
     )
@@ -100,6 +147,28 @@ def _blur_batch(imgs: jnp.ndarray, sigma_idx: jnp.ndarray,
     return jnp.where(apply[:, None, None, None], blurred, imgs)
 
 
+def _blur_batch_shift(imgs: jnp.ndarray, sigma_idx: jnp.ndarray,
+                      apply: jnp.ndarray) -> jnp.ndarray:
+    """Static shifted-slice FMA blur — measured SLOWER than the vmapped
+    conv on v5e (W shifts are cross-sublane relayouts); kept as the
+    bench baseline and parity witness."""
+    kernels = jnp.asarray(
+        np.stack([_gaussian_kernel(s) for s in BLUR_SIGMAS]), jnp.float32
+    )
+    taps = kernels[sigma_idx]  # (N, T) per-image kernel
+    ktap = kernels.shape[1]
+    rad = ktap // 2
+    n, h, w, c = imgs.shape
+
+    xp = jnp.pad(imgs, ((0, 0), (0, 0), (rad, rad), (0, 0)))
+    y = sum(xp[:, :, t:t + w, :] * taps[:, t][:, None, None, None]
+            for t in range(ktap))
+    yp = jnp.pad(y, ((0, 0), (rad, rad), (0, 0), (0, 0)))
+    z = sum(yp[:, t:t + h, :, :] * taps[:, t][:, None, None, None]
+            for t in range(ktap))
+    return jnp.where(apply[:, None, None, None], z, imgs)
+
+
 @partial(jax.jit, static_argnames=("augment",))
 def augment_batch(imgs: jnp.ndarray, key: jax.Array,
                   augment: str = "xyrjb") -> jnp.ndarray:
@@ -113,15 +182,27 @@ def augment_batch(imgs: jnp.ndarray, key: jax.Array,
     """
     n = imgs.shape[0]
     kx, ky, kr, kb1, kb2 = jax.random.split(key, 5)
-    if "x" in augment:
-        flip = jax.random.bernoulli(kx, 0.5, (n,))
-        imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1], imgs)
-    if "y" in augment:
-        flip = jax.random.bernoulli(ky, 0.5, (n,))
-        imgs = jnp.where(flip[:, None, None, None], imgs[:, ::-1], imgs)
-    if "r" in augment:
+    square = imgs.shape[1] == imgs.shape[2]
+    if "x" in augment and "y" in augment and "r" in augment and square:
+        # Published 'xyrjb' fast path: the three permutations collapse to
+        # one dihedral-group application (same PRNG draws, same result —
+        # pinned bitwise in tests/test_data_plane.py).
+        fx = jax.random.bernoulli(kx, 0.5, (n,))
+        fy = jax.random.bernoulli(ky, 0.5, (n,))
         k = jax.random.randint(kr, (n,), 0, 4)
-        imgs = _rot90_batch(imgs, k)
+        imgs = _dihedral_batch(imgs, fx, fy, k)
+    else:
+        if "x" in augment:
+            flip = jax.random.bernoulli(kx, 0.5, (n,))
+            imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1],
+                             imgs)
+        if "y" in augment:
+            flip = jax.random.bernoulli(ky, 0.5, (n,))
+            imgs = jnp.where(flip[:, None, None, None], imgs[:, ::-1],
+                             imgs)
+        if "r" in augment:
+            k = jax.random.randint(kr, (n,), 0, 4)
+            imgs = _rot90_batch(imgs, k)
     if "b" in augment:
         apply = jax.random.bernoulli(kb1, BLUR_PROB, (n,))
         sigma_idx = jax.random.randint(kb2, (n,), 0, len(BLUR_SIGMAS))

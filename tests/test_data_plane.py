@@ -163,6 +163,73 @@ class TestAugment:
             out.sum(axis=(1, 2, 3)), imgs.sum(axis=(1, 2, 3)), rtol=1e-5
         )
 
+    def test_rot90_decomposition_bitwise(self):
+        """The transpose+flip rotation must match jnp.rot90 (via the
+        vmapped-switch baseline) bitwise — both are index permutations."""
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.data.augment import (
+            _rot90_batch,
+            _rot90_batch_switch,
+        )
+
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(rng.uniform(0, 255, (8, 9, 9, 3)), jnp.float32)
+        k = jnp.asarray([0, 1, 2, 3, 3, 2, 1, 0])
+        np.testing.assert_array_equal(
+            np.asarray(_rot90_batch(imgs, k)),
+            np.asarray(_rot90_batch_switch(imgs, k)))
+        # Non-square tiles are rejected loudly (odd rotations change the
+        # shape; the switch formulation also could not express them).
+        rect = jnp.asarray(rng.uniform(0, 255, (4, 6, 9, 3)), jnp.float32)
+        with pytest.raises(ValueError, match="square"):
+            _rot90_batch(rect, jnp.asarray([0, 2, 0, 2]))
+
+    def test_blur_shifted_fma_matches_conv(self):
+        """The shifted-FMA blur witness must match the production
+        vmapped-conv formulation (same taps, same SAME zero padding)."""
+        import jax.numpy as jnp
+
+        from biscuit_tpu.data.augment import (
+            BLUR_SIGMAS,
+            _blur_batch,
+            _blur_batch_shift,
+        )
+
+        rng = np.random.default_rng(12)
+        imgs = jnp.asarray(rng.uniform(-2, 2, (6, 17, 13, 3)), jnp.float32)
+        sidx = jnp.asarray(rng.integers(0, len(BLUR_SIGMAS), 6))
+        apply = jnp.asarray([True, False, True, True, False, True])
+        a = np.asarray(_blur_batch(imgs, sidx, apply))
+        b = np.asarray(_blur_batch_shift(imgs, sidx, apply))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+
+    def test_dihedral_collapse_bitwise(self):
+        """The one-pass dihedral (flips+rotation) must equal the
+        sequential flip-x, flip-y, rot90^k composition bitwise for all
+        16 (fx, fy, k) combinations."""
+        import jax.numpy as jnp
+
+        from biscuit_tpu.data.augment import (
+            _dihedral_batch,
+            _rot90_batch,
+        )
+
+        rng = np.random.default_rng(13)
+        combos = [(fx, fy, k) for fx in (0, 1) for fy in (0, 1)
+                  for k in range(4)]
+        imgs = jnp.asarray(rng.uniform(0, 255, (16, 9, 9, 3)), jnp.float32)
+        fx = jnp.asarray([c[0] for c in combos], bool)
+        fy = jnp.asarray([c[1] for c in combos], bool)
+        k = jnp.asarray([c[2] for c in combos])
+        seq = imgs
+        seq = jnp.where(fx[:, None, None, None], seq[:, :, ::-1], seq)
+        seq = jnp.where(fy[:, None, None, None], seq[:, ::-1], seq)
+        seq = _rot90_batch(seq, k)
+        out = _dihedral_batch(imgs, fx, fy, k)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
+
     def test_deterministic_given_key(self):
         import jax
 
