@@ -57,7 +57,10 @@ from ..utils_log import log
 
 __all__ = ["detect_device", "apply_device", "HostFallback"]
 
-_FLOAT_TYPES = (float, np.float16, np.float32, np.float64)
+# Shared with the host module so the two backends can never drift on
+# which threshold types dispatch where (import is safe: threshold.py
+# only imports this module lazily inside functions).
+from ..threshold import _FLOAT_TYPES  # noqa: E402
 _CAND_K = 128
 
 
@@ -432,6 +435,17 @@ def apply_device(df, tile_uq, slide_uq, tile_pred=0.5, slide_pred=0.5,
         tile_pred, _FLOAT_TYPES + (int,)
     ):
         raise HostFallback("non-numeric tile_pred")
+    # apply()'s host semantics for the uq thresholds are plain
+    # truthiness (`if tile_uq: df[df.uncertainty < tile_uq]`): ints
+    # filter like floats, and truthy NON-numbers (e.g. the string
+    # 'detect', valid only for detect()) crash in the comparison — fall
+    # back so the host raises its own TypeError rather than this path
+    # silently inventing different semantics.
+    _num = _FLOAT_TYPES + (int, np.integer)
+    if tile_uq and not isinstance(tile_uq, _num):
+        raise HostFallback("non-numeric truthy tile_uq")
+    if slide_uq and not isinstance(slide_uq, _num):
+        raise HostFallback("non-numeric truthy slide_uq")
     _precheck(df)
 
     if patients:
@@ -442,9 +456,10 @@ def apply_device(df, tile_uq, slide_uq, tile_pred=0.5, slide_pred=0.5,
     if tile_uq:
         log.debug(f"Applying tile UQ threshold of {tile_uq:.5f}")
 
-    # Reference truthiness: 0/None tile_uq skips the filter.
+    # Reference truthiness: 0/None tile_uq skips the filter; ints
+    # coerce to float so _tile_stages' fixed-threshold branch applies.
     tile_pred, _, _, g, levels = _tile_stages(
-        df, tile_pred, tile_uq if tile_uq else None, level)
+        df, tile_pred, float(tile_uq) if tile_uq else None, level)
     gf = _group_frame(g, levels, level)
     gyt = gf["y_true"]
     gyp = gf["y_pred"]

@@ -313,6 +313,8 @@ def detect(
          slide-level AUROC)
     """
     log.debug("Detecting thresholds...")
+    empty_thresh = {k: None for k in (
+        "tile_uq", "slide_uq", "tile_pred", "slide_pred")}
     if _dispatch_device(df, backend, plot=plot):
         from .ops import threshold_device
 
@@ -323,8 +325,13 @@ def detect(
             )
         except threshold_device.HostFallback as e:
             log.debug(f"Device stats backend fell back to host: {e}")
-    empty_thresh = {k: None for k in (
-        "tile_uq", "slide_uq", "tile_pred", "slide_pred")}
+        except errors.PredsContainNaNError:
+            # Same degradation contract as the host path below: detect()
+            # returns empty thresholds on NaN predictions (from_cv relies
+            # on this to skip bad folds rather than crash).
+            log.error(
+                "Tile-level predictions contain NaNs; unable to process.")
+            return empty_thresh, None
     try:
         df, detected_tile_pred = process_tile_predictions(
             df, pred_thresh=tile_pred, patients=patients

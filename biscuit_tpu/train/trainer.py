@@ -195,10 +195,16 @@ def _cached_fn(key: tuple, build):
 def _cached_train_step(hp: ModelParams, mesh, model, tx, normalizer):
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
+    from .fused_train import use_fused_train
+
     key = ("train", _model_fingerprint(hp), hp.augment, hp.loss,
            hp.optimizer, float(hp.learning_rate),
            int(hp.learning_rate_decay_steps), float(hp.learning_rate_decay),
-           _mesh_fingerprint(mesh))
+           _mesh_fingerprint(mesh),
+           # make_train_step bakes the fused-trunk toggle into the
+           # compiled program; key on it like _cached_infer_step keys on
+           # its kernel env toggles.
+           use_fused_train())
     return _cached_fn(key, lambda: jax.jit(
         make_train_step(model, tx, hp, normalizer),
         in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, b_shard,

@@ -22,6 +22,7 @@
 #include <thread>
 #include <vector>
 #include <atomic>
+#include <mutex>
 #include <algorithm>
 
 #include <png.h>
@@ -532,14 +533,18 @@ struct Api {
 
 static Api api;
 static bool api_ready = false;
-static bool api_tried = false;
 
-static bool load_api() {
-  if (api_tried) return api_ready;
-  api_tried = true;
+// ctypes releases the GIL, so two extraction threads can race into the
+// first J2K decode: std::call_once makes the dlopen/dlsym fill of `api`
+// happen-before every api_ready read (a plain tried/ready flag pair let
+// a second thread observe tried==true with the struct half-written and
+// misreport the slide as unsupported).
+static std::once_flag api_once;
+
+static void load_api_impl() {
   void* h = dlopen("libopenjp2.so.7", RTLD_NOW | RTLD_LOCAL);
   if (!h) h = dlopen("libopenjp2.so", RTLD_NOW | RTLD_LOCAL);
-  if (!h) return false;
+  if (!h) return;
   auto sym = [&](const char* n) { return dlsym(h, n); };
   api.create_decompress =
       (void* (*)(int))sym("opj_create_decompress");
@@ -570,6 +575,10 @@ static bool load_api() {
               api.stream_set_user_data_length && api.read_header &&
               api.decode && api.end_decompress && api.destroy_codec &&
               api.stream_destroy && api.image_destroy;
+}
+
+static bool load_api() {
+  std::call_once(api_once, load_api_impl);
   return api_ready;
 }
 

@@ -129,6 +129,31 @@ class TestTrainStepIntegration:
             assert np.asarray(vf).shape == np.asarray(vu).shape
 
 
+class TestStepCacheKey:
+    def test_cache_distinguishes_fused_flag(self, monkeypatch):
+        """_cached_train_step bakes the fused-trunk toggle into the
+        compiled program, so the cache key must include it — toggling
+        BISCUIT_FUSED_TRAIN mid-process must not reuse a stale step."""
+        import optax
+
+        from biscuit_tpu.parallel.mesh import data_parallel_mesh
+
+        hp = nature2022.copy()
+        hp.model = "xception_tiny"
+        hp.tile_px = 32
+        model = build_model(hp)
+        tx = optax.adam(1e-3)
+        mesh = data_parallel_mesh(jax.devices()[:1])
+        monkeypatch.setenv("BISCUIT_FUSED_TRAIN", "0")
+        a = trainer._cached_train_step(hp, mesh, model, tx, None)
+        monkeypatch.setenv("BISCUIT_FUSED_TRAIN", "1")
+        b = trainer._cached_train_step(hp, mesh, model, tx, None)
+        monkeypatch.setenv("BISCUIT_FUSED_TRAIN", "0")
+        c = trainer._cached_train_step(hp, mesh, model, tx, None)
+        assert a is not b
+        assert a is c
+
+
 class TestGradParity:
     def test_grads_match_flax(self, tiny_model):
         model, params, batch_stats, x = tiny_model

@@ -257,3 +257,18 @@ class TestOnChip:
                                   EPS, True)
         for name, o, g in zip(NAMES, pal, ref):
             assert relerr(o, g) < 5e-3, name
+
+    def test_strip_kernel_vs_reference_on_chip(self):
+        # 37x37: multi-strip (hs=24 -> 2 strips, ragged) at a real entry
+        # geometry that fits a quick compile.
+        rng = np.random.default_rng(9)
+        a, wdw, wpw, gamma, beta, gy = make_unit(
+            rng, 16, 37, 37, 128, 128, jnp.bfloat16)
+        _, mu, var, (r, d, p) = fub.unit_fwd(a, wdw, wpw, gamma, beta, EPS,
+                                             True)
+        ref = fub.unit_bwd_reference(gy, r, d, p, wdw, wpw, gamma, mu, var,
+                                     EPS, True)
+        pal = fub.unit_bwd_pallas_strips(gy, r, d, p, wdw, wpw, gamma, mu,
+                                         var, EPS, True)
+        for name, o, g in zip(NAMES, pal, ref):
+            assert relerr(o, g) < 5e-3, name

@@ -147,6 +147,48 @@ def test_apply_device_zero_thresholds_skip_filters():
     assert len(h_df) == len(d_df)
 
 
+def test_apply_device_int_tile_uq_filters_like_host():
+    """Host apply() treats any truthy tile_uq as a filter threshold
+    (`df[df.uncertainty < tile_uq]`), including ints — the device path
+    must not silently skip the filter for non-float numerics."""
+    df, patients = make_frame(seed=22)
+    # int threshold inside the uncertainty range so the filter matters
+    t = int(np.ceil(df["uncertainty"].median() * 100))
+    h_res, h_df = th.apply(
+        df.copy(), tile_uq=t / 100.0, slide_uq=None, patients=patients,
+        backend="host")
+    # Same value as a plain python fraction can't be an int; instead use
+    # a frame whose uncertainty exceeds 1 for a genuine int threshold.
+    df2 = df.assign(uncertainty=df["uncertainty"] * 100.0)
+    h2, hdf2 = th.apply(df2.copy(), tile_uq=t, slide_uq=None,
+                        patients=patients, backend="host")
+    d2, ddf2 = th.apply(df2.copy(), tile_uq=t, slide_uq=None,
+                        patients=patients, backend="device")
+    _cmp(h2, d2, "int tile_uq results")
+    assert len(hdf2) == len(ddf2)
+
+
+def test_apply_device_detect_string_matches_host_exception():
+    """apply(tile_uq='detect') is invalid (detect() is where 'detect'
+    lives); the host raises (ValueError from the '{:.5f}' debug format,
+    mirroring the reference's log line). The device backend must fall
+    back so the SAME exception surfaces, not silently auto-detect a
+    threshold."""
+    df, patients = make_frame(seed=23)
+
+    def exc_of(backend):
+        try:
+            th.apply(df.copy(), tile_uq="detect", slide_uq=None,
+                     patients=patients, backend=backend)
+        except Exception as e:  # noqa: BLE001 - comparing types
+            return type(e)
+        return None
+
+    host_exc = exc_of("host")
+    assert host_exc is not None
+    assert exc_of("device") is host_exc
+
+
 def test_apply_device_detect_tile_pred():
     df, patients = make_frame(seed=2, n_slides=20)
     h_res, _ = th.apply(
@@ -191,13 +233,16 @@ def test_device_backend_fallback_paths():
     _cmp(host[1], dev[1], "auc")
 
 
-def test_device_backend_nan_preds_raise():
-    from biscuit_tpu import errors
-
+def test_device_backend_nan_preds_degrade_like_host():
+    """detect() with NaN y_pred returns (empty thresholds, None) on BOTH
+    backends — the host catches PredsContainNaNError (from_cv relies on
+    this to skip bad folds); the device dispatch must not leak it."""
     df, patients = make_frame(seed=1)
     df.loc[3, "y_pred"] = np.nan
-    with pytest.raises(errors.PredsContainNaNError):
-        th.detect(df, patients=patients, backend="device")
+    for backend in ("host", "device"):
+        thresh, auc = th.detect(df, patients=patients, backend=backend)
+        assert auc is None, backend
+        assert all(v is None for v in thresh.values()), backend
 
 
 def test_auto_dispatch_row_threshold(monkeypatch):
