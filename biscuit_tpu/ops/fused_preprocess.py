@@ -34,6 +34,9 @@ benchmarks/bench_train_step.py):
     forward     32.7 ms
     bwd+update  96.2 ms
     total      139.9 ms   -> 915 tiles/s device compute
+    (later r3: augment dropped to ~4.5 ms via the dihedral collapse —
+     bench_augment.py — bringing the step to 137.1 ms / 933 tiles/s;
+     the preprocess share and this acquittal are unchanged)
 
 Preprocess is 3.1% of the train step; fusing it (saving ~2.8 ms, the
 measured inference-side delta scaled to B=128) would buy ~2% — not worth
