@@ -1,0 +1,283 @@
+"""w8a8 (int8 weights + int8 activations) Xception trunk for inference.
+
+STATUS: built + CPU-parity-tested; OPT-IN pending the on-chip probe
+(benchmarks/bench_int8_probe.py). Enable with BISCUIT_INT8_TRUNK=1 or
+``int8_trunk=True`` through ``mc_dropout_predict``.
+
+Motivation (v5e): the MXU runs int8 x int8 -> int32 at 394 TOP/s vs 197
+bf16 TFLOP/s, and int8 activations halve HBM bytes — relevant because the
+entry flow's activations are huge (147x147x128 at B=1024 is 5.5 GB per
+tensor in bf16) and the trunk's non-depthwise budget (~98 ms of 245 at
+B=1024) is MXU/HBM-bound. The depthwise convs are VPU-issue-bound
+(dtype-independent — ops/fused_sepconv.py tuning record), so they stay
+bf16; quantization wraps only the MXU convs:
+
+    ... -> relu(bf16) -> dw3x3(bf16) -> quantize -> pw1x1(int8->int32)
+        -> dequant(* s_in*s_w[c]*bn_scale[c] + bn_shift[c]) -> bf16 -> ...
+
+Scheme: post-training quantization, symmetric. Weights per-output-channel
+(absmax/127, BN folded into the dequant scale); activations per-tensor
+with scales calibrated from one f32 forward (absmax at each quant site).
+The middle flow keeps the fused bf16 Pallas kernel (its activations never
+leave VMEM, so int8's HBM win doesn't apply there; an in-kernel int8 MXU
+variant is future work gated on the probe).
+
+Science guard: quantization perturbs features, so this path is *inference
+opt-in only* and tests/test_int8_trunk.py pins (a) feature cosine
+similarity vs the f32 trunk and (b) end-to-end UQ AUC parity on a
+trained synthetic-corpus model. The reference has no quantized path
+(slideflow/TF runs fp32); this is a deliberate TPU-native addition, not
+a parity item.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from .fused_sepconv import fold_bn
+
+_CDTYPE = jnp.bfloat16  # dtype of the non-quantized (depthwise/pool) ops
+
+
+def use_int8_trunk() -> bool:
+    return os.environ.get("BISCUIT_INT8_TRUNK") == "1"
+
+
+# ---------------------------------------------------------------------------
+# Weight folding: Flax param tree -> flat per-conv dict with BN folded.
+# ---------------------------------------------------------------------------
+
+
+def _fold_trunk(params, batch_stats, arch_cfg) -> Dict[str, Any]:
+    """Flatten stem+entry+exit weights with each conv's following BN folded
+    to (scale, shift). Depthwise kernels pass through unquantized (their
+    BN sits after the pointwise, Keras SeparableConv2D semantics)."""
+    bp, bs = params["backbone"], batch_stats["backbone"]
+    fw: Dict[str, Any] = {}
+
+    def conv_bn(name, kernel, bn_p, bn_s):
+        scale, shift = fold_bn(bn_p, bn_s)
+        fw[name] = {
+            "k": jnp.asarray(kernel, jnp.float32),
+            "bn_scale": scale,
+            "bn_shift": shift,
+        }
+
+    conv_bn("conv1", bp["conv1"]["kernel"], bp["conv1_bn"], bs["conv1_bn"])
+    conv_bn("conv2", bp["conv2"]["kernel"], bp["conv2_bn"], bs["conv2_bn"])
+
+    def block(prefix, blk_p, blk_s, n_seps):
+        conv_bn(f"{prefix}.res", blk_p["res_conv"]["kernel"],
+                blk_p["res_bn"], blk_s["res_bn"])
+        for j in range(n_seps):
+            fw[f"{prefix}.dw{j}"] = jnp.asarray(
+                blk_p[f"sep{j}"]["depthwise"]["kernel"], _CDTYPE)
+            conv_bn(f"{prefix}.pw{j}",
+                    blk_p[f"sep{j}"]["pointwise"]["kernel"],
+                    blk_p[f"bn{j}"], blk_s[f"bn{j}"])
+
+    for i in range(len(arch_cfg["entry_blocks"])):
+        block(f"entry{i}", bp[f"entry{i}"], bs[f"entry{i}"], 2)
+    block("exit_block", bp["exit_block"], bs["exit_block"], 2)
+    for i in range(len(arch_cfg["exit_convs"])):
+        fw[f"exit_sep{i}.dw"] = jnp.asarray(
+            bp[f"exit_sep{i}"]["depthwise"]["kernel"], _CDTYPE)
+        conv_bn(f"exit_sep{i}.pw",
+                bp[f"exit_sep{i}"]["pointwise"]["kernel"],
+                bp[f"exit_bn{i}"], bs[f"exit_bn{i}"])
+    return fw
+
+
+# ---------------------------------------------------------------------------
+# The shared forward. mode='calibrate' runs f32 and returns per-site absmax;
+# mode='int8' quantizes each MXU conv's input with the calibrated scale.
+# ---------------------------------------------------------------------------
+
+
+def _mxu_conv(h, site, fw, qw, sites, *, strides=(1, 1), padding="SAME"):
+    """One quantization-wrapped MXU conv (+ folded BN). In calibrate mode
+    records absmax(h) and computes in f32; in int8 mode quantizes."""
+    if qw is None:
+        sites[site] = jnp.max(jnp.abs(h)).astype(jnp.float32)
+        w = fw[site]
+        y = jax.lax.conv_general_dilated(
+            h.astype(jnp.float32), w["k"], strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y * w["bn_scale"] + w["bn_shift"]
+    w = qw[site]
+    q = jnp.clip(jnp.round(h.astype(jnp.float32) * w["inv_s_in"]),
+                 -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        q, w["k"], strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * w["eff"] + w["shift"]
+
+
+def _dw_conv(h, kernel):
+    cin = h.shape[-1]
+    return jax.lax.conv_general_dilated(
+        h.astype(_CDTYPE), kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=cin,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _maxpool(h):
+    return jax.lax.reduce_window(
+        h, jnp.asarray(-jnp.inf, h.dtype), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), "SAME",
+    )
+
+
+def _act(y):
+    """Post-dequant cast back to the compute dtype."""
+    return y.astype(_CDTYPE)
+
+
+def _block(h, prefix, fw, qw, sites, *, relu_first):
+    """XceptionBlock(features=(f, f), strides=2) — models/xception.py:81."""
+    residual = _act(_mxu_conv(h, f"{prefix}.res", fw, qw, sites,
+                              strides=(2, 2)))
+    g = h
+    for j in range(2):
+        if j > 0 or relu_first:
+            g = jax.nn.relu(g)
+        g = _dw_conv(g, _dwk(fw, qw, f"{prefix}.dw{j}"))
+        g = _act(_mxu_conv(g, f"{prefix}.pw{j}", fw, qw, sites))
+    g = _maxpool(g)
+    return g + residual
+
+
+def _dwk(fw, qw, name):
+    return (qw if qw is not None else fw)[name]
+
+
+def _forward(x, fw, qw, arch_cfg, middle_fn):
+    """stem + entry (+ middle via middle_fn) + exit -> pooled f32 feats.
+    Mirrors XceptionBackbone.__call__ (models/xception.py:117-187) with
+    inference BN folded. Returns (feats, sites)."""
+    sites: Dict[str, jnp.ndarray] = {}
+    h = _act(_mxu_conv(x.astype(jnp.float32), "conv1", fw, qw, sites,
+                       strides=(2, 2), padding="VALID"))
+    h = jax.nn.relu(h)
+    h = _act(_mxu_conv(h, "conv2", fw, qw, sites, padding="VALID"))
+    h = jax.nn.relu(h)
+    for i in range(len(arch_cfg["entry_blocks"])):
+        h = _block(h, f"entry{i}", fw, qw, sites, relu_first=(i != 0))
+
+    h = middle_fn(h)
+
+    h = _block(h, "exit_block", fw, qw, sites, relu_first=True)
+    for i in range(len(arch_cfg["exit_convs"])):
+        g = _dw_conv(h, _dwk(fw, qw, f"exit_sep{i}.dw"))
+        h = _act(_mxu_conv(g, f"exit_sep{i}.pw", fw, qw, sites))
+        h = jax.nn.relu(h)
+    return jnp.mean(h, axis=(1, 2)).astype(jnp.float32), sites
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _middle_fn(model, params, batch_stats, interpret=False) -> Callable:
+    """Middle flow exactly as the production bf16 path runs it (fused
+    Pallas on TPU, XLA elsewhere) — quantization does not touch it."""
+    from ..models.xception import ARCHS
+    from .fused_sepconv import (
+        fused_middle_flow,
+        stack_middle_weights,
+        use_fused_middle,
+    )
+
+    if use_fused_middle() or interpret:
+        wts = stack_middle_weights(
+            params["backbone"], batch_stats["backbone"],
+            ARCHS[model.arch]["middle_repeats"])
+        return lambda h: fused_middle_flow(h, *wts, interpret=interpret)
+    v = {"params": params, "batch_stats": batch_stats}
+    return lambda h: model.apply(v, h.astype(_CDTYPE), train=False,
+                                 method="trunk_middle")
+
+
+def calibrate_int8_trunk(model, params, batch_stats, x_sample,
+                         interpret: bool = False) -> Dict[str, float]:
+    """One f32 forward over a representative preprocessed batch; returns
+    {site: activation_scale} (absmax/127, floored at a tiny epsilon so a
+    dead site cannot divide by zero)."""
+    from ..models.xception import ARCHS
+
+    cfg = ARCHS[model.arch]
+    fw = _fold_trunk(params, batch_stats, cfg)
+    mid = _middle_fn(model, params, batch_stats, interpret)
+    _, sites = jax.jit(
+        lambda x: _forward(x, fw, None, cfg, mid)
+    )(x_sample)
+    return {
+        k: max(float(v) / 127.0, 1e-8) for k, v in sites.items()
+    }
+
+
+def prepare_int8_trunk(model, params, batch_stats,
+                       scales: Dict[str, float]) -> Dict[str, Any]:
+    """Quantize weights (per-output-channel symmetric) and pre-combine the
+    dequant factors: eff[c] = s_in * s_w[c] * bn_scale[c]."""
+    from ..models.xception import ARCHS
+
+    cfg = ARCHS[model.arch]
+    fw = _fold_trunk(params, batch_stats, cfg)
+    qw: Dict[str, Any] = {}
+    for name, w in fw.items():
+        if not isinstance(w, dict):  # depthwise kernel: pass through bf16
+            qw[name] = w
+            continue
+        s_in = scales[name]
+        k = w["k"]
+        s_w = jnp.maximum(
+            jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+        qk = jnp.clip(jnp.round(k / s_w), -127.0, 127.0).astype(jnp.int8)
+        qw[name] = {
+            "k": qk,
+            "inv_s_in": jnp.float32(1.0 / s_in),
+            "eff": (s_in * s_w * w["bn_scale"]).astype(jnp.float32),
+            "shift": w["bn_shift"].astype(jnp.float32),
+        }
+    return qw
+
+
+def trunk_features_int8(model, params, batch_stats, x, qw,
+                        interpret: bool = False):
+    """Pooled trunk features via the w8a8 stem/entry/exit + bf16 middle.
+    Drop-in for ``model.apply(..., method='features')`` at inference;
+    ``x`` is the preprocessed (normalized+standardized) f32 batch."""
+    from ..models.xception import ARCHS
+
+    cfg = ARCHS[model.arch]
+    mid = _middle_fn(model, params, batch_stats, interpret)
+    feats, _ = _forward(x, None, qw, cfg, mid)
+    return feats
+
+
+class Int8TrunkCache:
+    """Per-(model, params) lazily calibrated+prepared quantized weights,
+    so jitted UQ steps can close over a ready qw tree."""
+
+    def __init__(self):
+        self._qw = None
+
+    def get(self, model, params, batch_stats, x_sample,
+            interpret: bool = False):
+        if self._qw is None:
+            scales = calibrate_int8_trunk(
+                model, params, batch_stats, x_sample, interpret)
+            self._qw = prepare_int8_trunk(model, params, batch_stats, scales)
+        return self._qw

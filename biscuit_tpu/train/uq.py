@@ -34,7 +34,8 @@ from ..data.normalize import make_normalizer
 
 def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
                        use_pallas: Optional[bool] = None,
-                       fused_trunk: Optional[bool] = None):
+                       fused_trunk: Optional[bool] = None,
+                       int8_qw=None):
     """(mean softmax, std softmax) over k dropout samples; trunk runs once.
 
     Args:
@@ -42,11 +43,22 @@ def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
         fused_trunk: run the Xception middle flow through the fused Pallas
             kernel (ops/fused_sepconv.py). Default: on for Xception archs on
             a real TPU (set BISCUIT_NO_FUSED_MIDDLE=1 to disable).
+        int8_qw: calibrated w8a8 trunk weights (ops/int8_trunk.py — OPT-IN
+            quantized inference; prepare via calibrate/prepare_int8_trunk).
     Returns:
         (probs_mean (B, C), probs_std (B, C)) — slideflow's 'y_pred' and
         'uncertainty' columns.
     """
     variables = {"params": params, "batch_stats": batch_stats}
+    if int8_qw is not None:
+        from ..models.xception import ARCHS
+        from ..ops.int8_trunk import trunk_features_int8
+
+        if model.arch not in ARCHS:
+            raise ValueError("int8 trunk requires an Xception arch")
+        feats = trunk_features_int8(model, params, batch_stats, x, int8_qw)
+        return mc_dropout_head(model, params, batch_stats, feats, key, k,
+                               use_pallas=use_pallas)
     if fused_trunk is None:
         from ..models.xception import ARCHS
         from ..ops.fused_sepconv import use_fused_middle
