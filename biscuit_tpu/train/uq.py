@@ -138,7 +138,8 @@ class UncertaintyInterface:
     """
 
     def __init__(self, model_path: str, k: Optional[int] = None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 int8_trunk: Optional[bool] = None):
         from .trainer import load_checkpoint
 
         (self.model, self.params, self.batch_stats,
@@ -146,19 +147,43 @@ class UncertaintyInterface:
         self.k = k if k is not None else self.hp.uq_samples
         self.wsi_normalizer = make_normalizer(self.hp.normalizer)
         self._key = jax.random.PRNGKey(0)
+        if int8_trunk is None:
+            from ..ops.int8_trunk import use_int8_trunk
+
+            int8_trunk = use_int8_trunk()
+        self._int8 = bool(int8_trunk)
+        self._qw = None  # calibrated lazily on the first batch
 
         normalizer = self.wsi_normalizer
 
-        def _infer(params, batch_stats, images_u8, key):
+        def _infer(params, batch_stats, images_u8, key, qw=None):
             from ..data.normalize import inference_preprocess
 
             x = inference_preprocess(images_u8, normalizer)
             return mc_dropout_predict(
                 self.model, params, batch_stats, x, key, k=self.k,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, int8_qw=qw,
             )
 
         self._infer = jax.jit(_infer)
+        self._infer_int8 = jax.jit(_infer) if self._int8 else None
+
+    def _int8_weights(self, tiles):
+        """Calibrate the w8a8 trunk on the first batch seen (opt-in path;
+        ops/int8_trunk.py)."""
+        if self._qw is None:
+            from ..data.normalize import inference_preprocess
+            from ..ops.int8_trunk import (
+                calibrate_int8_trunk,
+                prepare_int8_trunk,
+            )
+
+            x = inference_preprocess(tiles, self.wsi_normalizer)
+            scales = calibrate_int8_trunk(
+                self.model, self.params, self.batch_stats, x)
+            self._qw = prepare_int8_trunk(
+                self.model, self.params, self.batch_stats, scales)
+        return self._qw
 
     def __call__(self, tiles, key=None):
         """tiles: (B, H, W, 3) uint8/float RGB [0,255] -> (probs, uncertainty)."""
@@ -167,4 +192,7 @@ class UncertaintyInterface:
         tiles = jnp.asarray(tiles)
         if tiles.ndim == 3:
             tiles = tiles[None]
+        if self._int8:
+            return self._infer_int8(self.params, self.batch_stats, tiles,
+                                     key, self._int8_weights(tiles))
         return self._infer(self.params, self.batch_stats, tiles, key)

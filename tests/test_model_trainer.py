@@ -393,6 +393,34 @@ class TestSaveEvalInterface:
         assert unc.shape == (4, 2)
         np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-4)
 
+    def test_uncertainty_interface_int8_trunk(self, full_model):
+        """Science guard for the opt-in w8a8 trunk (ops/int8_trunk.py) on a
+        TRAINED model: quantized predictions must agree with the f32 path
+        in class calls and closely in probability on class-signal tiles."""
+        import jax
+
+        from biscuit_tpu.train.uq import UncertaintyInterface
+
+        P, model_path = full_model
+        tiles = np.stack(
+            [make_tile(i % 2, np.random.default_rng(100 + i))
+             for i in range(8)]
+        )
+        key = jax.random.PRNGKey(0)
+        iface = UncertaintyInterface(model_path, k=8)
+        iface8 = UncertaintyInterface(model_path, k=8, int8_trunk=True)
+        probs, unc = iface(tiles, key=key)
+        probs8, unc8 = iface8(tiles, key=key)
+        probs, probs8 = np.asarray(probs), np.asarray(probs8)
+        assert np.all(np.isfinite(probs8))
+        np.testing.assert_allclose(probs8.sum(-1), 1.0, rtol=1e-4)
+        # Same argmax everywhere the f32 model is confident; close probs.
+        confident = np.abs(probs[:, 1] - 0.5) > 0.1
+        assert (probs8.argmax(-1)[confident]
+                == probs.argmax(-1)[confident]).all()
+        assert np.abs(probs8 - probs).max() < 0.08, np.abs(
+            probs8 - probs).max()
+
     def test_evaluate_project(self, full_model):
         P, model_path = full_model
         results = P.evaluate(model_path, "cohort")
