@@ -78,11 +78,29 @@ def build_uq_step(jax, jnp):
     params, batch_stats = variables["params"], variables["batch_stats"]
     normalizer = make_normalizer(hp.normalizer)
 
+    # Opt-in w8a8 trunk (ops/int8_trunk.py; pending the on-chip probe —
+    # the headline stays bf16 until accuracy + speedup are both recorded).
+    qw = None
+    if os.environ.get("BISCUIT_BENCH_INT8") == "1":
+        from biscuit_tpu.ops.int8_trunk import (
+            calibrate_int8_trunk,
+            prepare_int8_trunk,
+        )
+
+        _log("int8: calibrating the w8a8 trunk on a synthetic batch...")
+        calib_u8 = jnp.asarray(np.random.default_rng(7).integers(
+            0, 255, (256, hp.tile_px, hp.tile_px, 3), dtype=np.uint8))
+        calib = inference_preprocess(jax.device_put(calib_u8, device),
+                                     normalizer)
+        scales = calibrate_int8_trunk(model, params, batch_stats, calib)
+        qw = prepare_int8_trunk(model, params, batch_stats, scales)
+        qw = jax.device_put(qw, device)
+
     @jax.jit
     def uq_step(params, batch_stats, images_u8, key):
         x = inference_preprocess(images_u8, normalizer)
         return mc_dropout_predict(
-            model, params, batch_stats, x, key, k=30
+            model, params, batch_stats, x, key, k=30, int8_qw=qw
         )
 
     return hp, params, batch_stats, uq_step, device
