@@ -258,6 +258,9 @@ def main():
     fpt = uq_flops_per_tile("xception", tile_px=299, k=30)
     peak = peak_flops(device.device_kind)
     mfu = tiles_per_s * fpt / peak
+    int8_mode = os.environ.get("BISCUIT_BENCH_INT8") == "1"
+    trunk_desc = ("w8a8 int8 Xception (bf16 depthwise/middle)" if int8_mode
+                  else "bf16 Xception w/ fused middle flow")
 
     print(
         json.dumps(
@@ -265,8 +268,8 @@ def main():
                 "metric": "mc_dropout_tile_inferences_per_sec_per_chip",
                 "value": round(tiles_per_s, 2),
                 "unit": "tiles/s (K=30, 299px, fused Pallas preprocess + "
-                        "bf16 Xception w/ fused middle flow + fused "
-                        "MC-dropout head)",
+                        f"{trunk_desc} + fused MC-dropout head)",
+                "trunk": "w8a8" if int8_mode else "bf16",
                 "vs_baseline": round(
                     tiles_per_s / A100_TF_BASELINE_TILES_PER_S, 2
                 ),

@@ -2,7 +2,11 @@
 
 STATUS: built + CPU-parity-tested; OPT-IN pending the on-chip probe
 (benchmarks/bench_int8_probe.py). Enable with BISCUIT_INT8_TRUNK=1 or
-``int8_trunk=True`` through ``mc_dropout_predict``.
+``UncertaintyInterface(..., int8_trunk=True)`` (which calibrates on the
+first >=256 tiles while answering through the exact f32 path, then
+switches); lower-level callers build weights once via
+``calibrate_int8_trunk`` + ``prepare_int8_trunk`` and pass them as
+``mc_dropout_predict(..., int8_qw=qw)``.
 
 Motivation (v5e): the MXU runs int8 x int8 -> int32 at 394 TOP/s vs 197
 bf16 TFLOP/s, and int8 activations halve HBM bytes — relevant because the
@@ -33,12 +37,11 @@ a parity item.
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-
-from .fused_sepconv import fold_bn
+import numpy as np
 
 _CDTYPE = jnp.bfloat16  # dtype of the non-quantized (depthwise/pool) ops
 
@@ -55,14 +58,26 @@ def use_int8_trunk() -> bool:
 def _fold_trunk(params, batch_stats, arch_cfg) -> Dict[str, Any]:
     """Flatten stem+entry+exit weights with each conv's following BN folded
     to (scale, shift). Depthwise kernels pass through unquantized (their
-    BN sits after the pointwise, Keras SeparableConv2D semantics)."""
-    bp, bs = params["backbone"], batch_stats["backbone"]
+    BN sits after the pointwise, Keras SeparableConv2D semantics).
+
+    Runs entirely on HOST numpy over ONE device_get of the trunk weights:
+    params are usually device-resident, and eager per-conv device math here
+    would be dozens of tiny remote compiles over a tunneled TPU (CLAUDE.md
+    host-init rule). The fold formula mirrors fused_sepconv.fold_bn
+    (flax BatchNorm, eps=1e-5; the Keras-eps-1e-3 compensation is already
+    baked into batch_stats by models/pretrained.py)."""
+    host = jax.device_get({"p": params["backbone"],
+                           "s": batch_stats["backbone"]})
+    bp, bs = host["p"], host["s"]
     fw: Dict[str, Any] = {}
 
     def conv_bn(name, kernel, bn_p, bn_s):
-        scale, shift = fold_bn(bn_p, bn_s)
+        scale = np.asarray(bn_p["scale"], np.float32) / np.sqrt(
+            np.asarray(bn_s["var"], np.float32) + 1e-5)
+        shift = (np.asarray(bn_p["bias"], np.float32)
+                 - np.asarray(bn_s["mean"], np.float32) * scale)
         fw[name] = {
-            "k": jnp.asarray(kernel, jnp.float32),
+            "k": np.asarray(kernel, np.float32),
             "bn_scale": scale,
             "bn_shift": shift,
         }
@@ -74,8 +89,8 @@ def _fold_trunk(params, batch_stats, arch_cfg) -> Dict[str, Any]:
         conv_bn(f"{prefix}.res", blk_p["res_conv"]["kernel"],
                 blk_p["res_bn"], blk_s["res_bn"])
         for j in range(n_seps):
-            fw[f"{prefix}.dw{j}"] = jnp.asarray(
-                blk_p[f"sep{j}"]["depthwise"]["kernel"], _CDTYPE)
+            fw[f"{prefix}.dw{j}"] = np.asarray(
+                blk_p[f"sep{j}"]["depthwise"]["kernel"]).astype(_CDTYPE)
             conv_bn(f"{prefix}.pw{j}",
                     blk_p[f"sep{j}"]["pointwise"]["kernel"],
                     blk_p[f"bn{j}"], blk_s[f"bn{j}"])
@@ -84,8 +99,8 @@ def _fold_trunk(params, batch_stats, arch_cfg) -> Dict[str, Any]:
         block(f"entry{i}", bp[f"entry{i}"], bs[f"entry{i}"], 2)
     block("exit_block", bp["exit_block"], bs["exit_block"], 2)
     for i in range(len(arch_cfg["exit_convs"])):
-        fw[f"exit_sep{i}.dw"] = jnp.asarray(
-            bp[f"exit_sep{i}"]["depthwise"]["kernel"], _CDTYPE)
+        fw[f"exit_sep{i}.dw"] = np.asarray(
+            bp[f"exit_sep{i}"]["depthwise"]["kernel"]).astype(_CDTYPE)
         conv_bn(f"exit_sep{i}.pw",
                 bp[f"exit_sep{i}"]["pointwise"]["kernel"],
                 bp[f"exit_bn{i}"], bs[f"exit_bn{i}"])
@@ -189,9 +204,12 @@ def _forward(x, fw, qw, arch_cfg, middle_fn):
 # ---------------------------------------------------------------------------
 
 
-def _middle_fn(model, params, batch_stats, interpret=False) -> Callable:
+def _middle_fn(model, params, batch_stats, interpret=False,
+               fused: Optional[bool] = None) -> Callable:
     """Middle flow exactly as the production bf16 path runs it (fused
-    Pallas on TPU, XLA elsewhere) — quantization does not touch it."""
+    Pallas on TPU, XLA elsewhere) — quantization does not touch it.
+    ``fused`` mirrors mc_dropout_predict's fused_trunk override; None
+    defers to the env/backend gate."""
     from ..models.xception import ARCHS
     from .fused_sepconv import (
         fused_middle_flow,
@@ -199,7 +217,9 @@ def _middle_fn(model, params, batch_stats, interpret=False) -> Callable:
         use_fused_middle,
     )
 
-    if use_fused_middle() or interpret:
+    if fused is None:
+        fused = use_fused_middle() or interpret
+    if fused:
         wts = stack_middle_weights(
             params["backbone"], batch_stats["backbone"],
             ARCHS[model.arch]["middle_repeats"])
@@ -209,28 +229,66 @@ def _middle_fn(model, params, batch_stats, interpret=False) -> Callable:
                                  method="trunk_middle")
 
 
-def calibrate_int8_trunk(model, params, batch_stats, x_sample,
-                         interpret: bool = False) -> Dict[str, float]:
-    """One f32 forward over a representative preprocessed batch; returns
-    {site: activation_scale} (absmax/127, floored at a tiny epsilon so a
-    dead site cannot divide by zero)."""
-    from ..models.xception import ARCHS
+class Int8Calibrator:
+    """Accumulating activation-range calibration.
 
-    cfg = ARCHS[model.arch]
-    fw = _fold_trunk(params, batch_stats, cfg)
-    mid = _middle_fn(model, params, batch_stats, interpret)
-    _, sites = jax.jit(
-        lambda x: _forward(x, fw, None, cfg, mid)
-    )(x_sample)
-    return {
-        k: max(float(v) / 127.0, 1e-8) for k, v in sites.items()
-    }
+    Runs f32 forwards over representative preprocessed batches and keeps
+    the per-site running absmax, so the calibration range can be built
+    from MANY batches (UncertaintyInterface feeds it the first >=256
+    tiles) instead of whatever single batch happens to arrive first. The
+    jitted forward takes the folded weights as an ARGUMENT (one device_put
+    at construction) rather than closing over them, so nothing multi-MB is
+    baked into the traced program (tunnel rule, CLAUDE.md)."""
+
+    def __init__(self, model, params, batch_stats, interpret: bool = False,
+                 fused_trunk: Optional[bool] = None):
+        from ..models.xception import ARCHS
+
+        cfg = ARCHS[model.arch]
+        self._fw = jax.device_put(_fold_trunk(params, batch_stats, cfg))
+        self._params, self._batch_stats = params, batch_stats
+
+        def _sites(fw, p, bs, x):
+            mid = _middle_fn(model, p, bs, interpret, fused_trunk)
+            return _forward(x, fw, None, cfg, mid)[1]
+
+        self._sites_fn = jax.jit(_sites)
+        self._absmax: Dict[str, float] = {}
+        self.n_tiles = 0
+
+    def update(self, x) -> None:
+        """Fold one preprocessed f32 batch into the running per-site absmax."""
+        sites = jax.device_get(
+            self._sites_fn(self._fw, self._params, self._batch_stats, x))
+        for k, v in sites.items():
+            self._absmax[k] = max(float(v), self._absmax.get(k, 0.0))
+        self.n_tiles += int(x.shape[0])
+
+    def scales(self) -> Dict[str, float]:
+        """{site: activation_scale} (absmax/127, floored so a dead site
+        cannot divide by zero)."""
+        if not self._absmax:
+            raise ValueError("Int8Calibrator.scales() before any update()")
+        return {k: max(v / 127.0, 1e-8) for k, v in self._absmax.items()}
+
+
+def calibrate_int8_trunk(model, params, batch_stats, x_sample,
+                         interpret: bool = False,
+                         fused_trunk: Optional[bool] = None,
+                         ) -> Dict[str, float]:
+    """One-shot calibration over a single representative batch (see
+    Int8Calibrator for the accumulating variant)."""
+    cal = Int8Calibrator(model, params, batch_stats, interpret, fused_trunk)
+    cal.update(x_sample)
+    return cal.scales()
 
 
 def prepare_int8_trunk(model, params, batch_stats,
                        scales: Dict[str, float]) -> Dict[str, Any]:
     """Quantize weights (per-output-channel symmetric) and pre-combine the
-    dequant factors: eff[c] = s_in * s_w[c] * bn_scale[c]."""
+    dequant factors: eff[c] = s_in * s_w[c] * bn_scale[c]. Pure host numpy
+    (see _fold_trunk); callers device_put the result or pass it as a jit
+    argument."""
     from ..models.xception import ARCHS
 
     cfg = ARCHS[model.arch]
@@ -242,42 +300,29 @@ def prepare_int8_trunk(model, params, batch_stats,
             continue
         s_in = scales[name]
         k = w["k"]
-        s_w = jnp.maximum(
-            jnp.max(jnp.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
-        qk = jnp.clip(jnp.round(k / s_w), -127.0, 127.0).astype(jnp.int8)
+        s_w = np.maximum(
+            np.max(np.abs(k), axis=(0, 1, 2)) / 127.0, 1e-12)
+        qk = np.clip(np.round(k / s_w), -127.0, 127.0).astype(np.int8)
         qw[name] = {
             "k": qk,
-            "inv_s_in": jnp.float32(1.0 / s_in),
-            "eff": (s_in * s_w * w["bn_scale"]).astype(jnp.float32),
-            "shift": w["bn_shift"].astype(jnp.float32),
+            "inv_s_in": np.float32(1.0 / s_in),
+            "eff": (s_in * s_w * w["bn_scale"]).astype(np.float32),
+            "shift": w["bn_shift"].astype(np.float32),
         }
     return qw
 
 
 def trunk_features_int8(model, params, batch_stats, x, qw,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        fused_trunk: Optional[bool] = None):
     """Pooled trunk features via the w8a8 stem/entry/exit + bf16 middle.
     Drop-in for ``model.apply(..., method='features')`` at inference;
-    ``x`` is the preprocessed (normalized+standardized) f32 batch."""
+    ``x`` is the preprocessed (normalized+standardized) f32 batch.
+    ``fused_trunk`` overrides the middle-flow backend gate (passed through
+    from mc_dropout_predict)."""
     from ..models.xception import ARCHS
 
     cfg = ARCHS[model.arch]
-    mid = _middle_fn(model, params, batch_stats, interpret)
+    mid = _middle_fn(model, params, batch_stats, interpret, fused_trunk)
     feats, _ = _forward(x, None, qw, cfg, mid)
     return feats
-
-
-class Int8TrunkCache:
-    """Per-(model, params) lazily calibrated+prepared quantized weights,
-    so jitted UQ steps can close over a ready qw tree."""
-
-    def __init__(self):
-        self._qw = None
-
-    def get(self, model, params, batch_stats, x_sample,
-            interpret: bool = False):
-        if self._qw is None:
-            scales = calibrate_int8_trunk(
-                model, params, batch_stats, x_sample, interpret)
-            self._qw = prepare_int8_trunk(model, params, batch_stats, scales)
-        return self._qw

@@ -45,6 +45,7 @@ def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
             a real TPU (set BISCUIT_NO_FUSED_MIDDLE=1 to disable).
         int8_qw: calibrated w8a8 trunk weights (ops/int8_trunk.py — OPT-IN
             quantized inference; prepare via calibrate/prepare_int8_trunk).
+            fused_trunk still selects the bf16 middle-flow backend.
     Returns:
         (probs_mean (B, C), probs_std (B, C)) — slideflow's 'y_pred' and
         'uncertainty' columns.
@@ -56,7 +57,8 @@ def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
 
         if model.arch not in ARCHS:
             raise ValueError("int8 trunk requires an Xception arch")
-        feats = trunk_features_int8(model, params, batch_stats, x, int8_qw)
+        feats = trunk_features_int8(model, params, batch_stats, x, int8_qw,
+                                    fused_trunk=fused_trunk)
         return mc_dropout_head(model, params, batch_stats, feats, key, k,
                                use_pallas=use_pallas)
     if fused_trunk is None:
@@ -139,7 +141,8 @@ class UncertaintyInterface:
 
     def __init__(self, model_path: str, k: Optional[int] = None,
                  use_pallas: Optional[bool] = None,
-                 int8_trunk: Optional[bool] = None):
+                 int8_trunk: Optional[bool] = None,
+                 calib_tiles: Optional[int] = None):
         from .trainer import load_checkpoint
 
         (self.model, self.params, self.batch_stats,
@@ -152,7 +155,16 @@ class UncertaintyInterface:
 
             int8_trunk = use_int8_trunk()
         self._int8 = bool(int8_trunk)
-        self._qw = None  # calibrated lazily on the first batch
+        # w8a8 calibration accumulates per-site absmax over the first
+        # >=_CALIB_MIN_TILES tiles (answered through the exact f32 path so
+        # calibration costs no accuracy), then freezes the quantized
+        # weights. This bounds the order-dependence of lazy calibration: a
+        # single unrepresentative first batch (e.g. one background tile)
+        # can no longer pin hard-clipping scales for the whole run.
+        self._qw = None
+        self._calib = None
+        if calib_tiles is not None:
+            self._CALIB_MIN_TILES = int(calib_tiles)
 
         normalizer = self.wsi_normalizer
 
@@ -166,23 +178,29 @@ class UncertaintyInterface:
             )
 
         self._infer = jax.jit(_infer)
-        self._infer_int8 = jax.jit(_infer) if self._int8 else None
+
+    _CALIB_MIN_TILES = 256
 
     def _int8_weights(self, tiles):
-        """Calibrate the w8a8 trunk on the first batch seen (opt-in path;
-        ops/int8_trunk.py)."""
+        """Accumulating w8a8 calibration (ops/int8_trunk.Int8Calibrator).
+        Returns None while still calibrating (callers use the f32 path)."""
         if self._qw is None:
             from ..data.normalize import inference_preprocess
-            from ..ops.int8_trunk import (
-                calibrate_int8_trunk,
-                prepare_int8_trunk,
-            )
+            from ..ops.int8_trunk import Int8Calibrator, prepare_int8_trunk
 
-            x = inference_preprocess(tiles, self.wsi_normalizer)
-            scales = calibrate_int8_trunk(
-                self.model, self.params, self.batch_stats, x)
-            self._qw = prepare_int8_trunk(
-                self.model, self.params, self.batch_stats, scales)
+            if self._calib is None:
+                self._calib = Int8Calibrator(
+                    self.model, self.params, self.batch_stats)
+            self._calib.update(
+                inference_preprocess(tiles, self.wsi_normalizer))
+            if self._calib.n_tiles >= self._CALIB_MIN_TILES:
+                self._qw = jax.device_put(prepare_int8_trunk(
+                    self.model, self.params, self.batch_stats,
+                    self._calib.scales()))
+                self._calib = None
+            # This batch contributed to calibration — answer it through
+            # the exact f32 path regardless of whether we just froze.
+            return None
         return self._qw
 
     def __call__(self, tiles, key=None):
@@ -192,7 +210,7 @@ class UncertaintyInterface:
         tiles = jnp.asarray(tiles)
         if tiles.ndim == 3:
             tiles = tiles[None]
-        if self._int8:
-            return self._infer_int8(self.params, self.batch_stats, tiles,
-                                     key, self._int8_weights(tiles))
+        qw = self._int8_weights(tiles) if self._int8 else None
+        if qw is not None:
+            return self._infer(self.params, self.batch_stats, tiles, key, qw)
         return self._infer(self.params, self.batch_stats, tiles, key)

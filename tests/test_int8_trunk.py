@@ -8,7 +8,8 @@ Three layers of evidence, all on the tiny arch (CPU):
 2. Quantization error bounds — w8a8 features stay directionally faithful
    (cosine) and bounded in relative L2 vs the f32 trunk.
 3. UQ wiring — mc_dropout_predict(int8_qw=...) returns valid, close
-   probability/uncertainty outputs through the Int8TrunkCache path.
+   probability/uncertainty outputs, with calibration accumulated across
+   batches through Int8Calibrator.
 """
 
 import jax
@@ -117,14 +118,25 @@ class TestQuantizationError:
 
 class TestUQWiring:
     def test_mc_dropout_predict_int8(self, tiny):
-        from biscuit_tpu.ops.int8_trunk import Int8TrunkCache
+        from biscuit_tpu.ops.int8_trunk import (
+            Int8Calibrator,
+            prepare_int8_trunk,
+        )
         from biscuit_tpu.train.uq import mc_dropout_predict
 
         model, params, batch_stats = tiny
         x = _batch(6)
-        cache = Int8TrunkCache()
-        qw = cache.get(model, params, batch_stats, _batch(7))
-        assert cache.get(model, params, batch_stats, _batch(8)) is qw
+        # Accumulating calibration: absmax is the running max over batches
+        # (order-independent union), and n_tiles tracks coverage.
+        cal = Int8Calibrator(model, params, batch_stats)
+        cal.update(_batch(7))
+        s1 = cal.scales()
+        cal.update(_batch(8) * 3.0)  # wider activations must widen scales
+        s2 = cal.scales()
+        assert cal.n_tiles == 8
+        assert all(s2[k] >= s1[k] for k in s1)
+        assert any(s2[k] > s1[k] for k in s1)
+        qw = prepare_int8_trunk(model, params, batch_stats, s2)
         key = jax.random.PRNGKey(0)
         mean8, std8 = mc_dropout_predict(
             model, params, batch_stats, x, key, k=8, int8_qw=qw)

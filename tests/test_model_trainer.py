@@ -395,23 +395,39 @@ class TestSaveEvalInterface:
 
     def test_uncertainty_interface_int8_trunk(self, full_model):
         """Science guard for the opt-in w8a8 trunk (ops/int8_trunk.py) on a
-        TRAINED model: quantized predictions must agree with the f32 path
-        in class calls and closely in probability on class-signal tiles."""
+        TRAINED model: calibration-phase batches answer through the exact
+        f32 path; once >=calib_tiles tiles are seen the quantized trunk
+        takes over and must agree with f32 in class calls and closely in
+        probability on class-signal tiles."""
         import jax
 
         from biscuit_tpu.train.uq import UncertaintyInterface
 
         P, model_path = full_model
+        calib = np.stack(
+            [make_tile(i % 2, np.random.default_rng(200 + i))
+             for i in range(8)]
+        )
         tiles = np.stack(
             [make_tile(i % 2, np.random.default_rng(100 + i))
              for i in range(8)]
         )
         key = jax.random.PRNGKey(0)
         iface = UncertaintyInterface(model_path, k=8)
-        iface8 = UncertaintyInterface(model_path, k=8, int8_trunk=True)
+        iface8 = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                      calib_tiles=8)
+        # Batch 1 lands in the calibration window: exact f32 answers.
+        p_cal, _ = iface(calib, key=key)
+        p_cal8, _ = iface8(calib, key=key)
+        np.testing.assert_array_equal(np.asarray(p_cal), np.asarray(p_cal8))
+        assert iface8._qw is not None  # frozen after >=8 tiles
+        # Batch 2 runs quantized.
         probs, unc = iface(tiles, key=key)
         probs8, unc8 = iface8(tiles, key=key)
         probs, probs8 = np.asarray(probs), np.asarray(probs8)
+        # actually quantized: some perturbation vs the f32 path
+        assert (np.abs(probs8 - probs).max() > 0
+                or np.abs(np.asarray(unc8) - np.asarray(unc)).max() > 0)
         assert np.all(np.isfinite(probs8))
         np.testing.assert_allclose(probs8.sum(-1), 1.0, rtol=1e-4)
         # Same argmax everywhere the f32 model is confident; close probs.
