@@ -259,8 +259,12 @@ def main():
     peak = peak_flops(device.device_kind)
     mfu = tiles_per_s * fpt / peak
     int8_mode = os.environ.get("BISCUIT_BENCH_INT8") == "1"
-    trunk_desc = ("w8a8 int8 Xception (bf16 depthwise/middle)" if int8_mode
-                  else "bf16 Xception w/ fused middle flow")
+    int8_middle = int8_mode and os.environ.get("BISCUIT_INT8_MIDDLE") == "1"
+    trunk_desc = (
+        "w8a8 int8 Xception incl. middle flow (bf16 depthwise)"
+        if int8_middle else
+        "w8a8 int8 Xception (bf16 depthwise/middle)" if int8_mode
+        else "bf16 Xception w/ fused middle flow")
 
     print(
         json.dumps(
@@ -269,7 +273,8 @@ def main():
                 "value": round(tiles_per_s, 2),
                 "unit": "tiles/s (K=30, 299px, fused Pallas preprocess + "
                         f"{trunk_desc} + fused MC-dropout head)",
-                "trunk": "w8a8" if int8_mode else "bf16",
+                "trunk": ("w8a8+middle" if int8_middle
+                          else "w8a8" if int8_mode else "bf16"),
                 "vs_baseline": round(
                     tiles_per_s / A100_TF_BASELINE_TILES_PER_S, 2
                 ),

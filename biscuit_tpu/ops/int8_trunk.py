@@ -21,10 +21,12 @@ bf16; quantization wraps only the MXU convs:
 
 Scheme: post-training quantization, symmetric. Weights per-output-channel
 (absmax/127, BN folded into the dequant scale); activations per-tensor
-with scales calibrated from one f32 forward (absmax at each quant site).
-The middle flow keeps the fused bf16 Pallas kernel (its activations never
-leave VMEM, so int8's HBM win doesn't apply there; an in-kernel int8 MXU
-variant is future work gated on the probe).
+with scales calibrated from f32 forwards (running absmax at each quant
+site). By default the middle flow keeps the fused bf16 Pallas kernel (its
+activations never leave VMEM, so int8's HBM win doesn't apply there);
+BISCUIT_INT8_MIDDLE=1 / quant_middle=True extends w8a8 to the middle
+pointwise convs too — a bet on the MXU's 2x int8 rate alone, measured
+separately on chip.
 
 Science guard: quantization perturbs features, so this path is *inference
 opt-in only* and tests/test_int8_trunk.py pins (a) feature cosine
@@ -50,12 +52,23 @@ def use_int8_trunk() -> bool:
     return os.environ.get("BISCUIT_INT8_TRUNK") == "1"
 
 
+def use_int8_middle() -> bool:
+    """Extend w8a8 quantization to the middle-flow pointwise convs
+    (BISCUIT_INT8_MIDDLE=1). Separate knob from the stem/entry/exit
+    quantization: the bf16 middle flow runs through the fused Pallas
+    kernel whose activations never leave VMEM, so int8 must beat it on
+    MXU rate alone (2x peak) rather than HBM bytes — a different bet,
+    measured separately by the on-chip probe/bench."""
+    return os.environ.get("BISCUIT_INT8_MIDDLE") == "1"
+
+
 # ---------------------------------------------------------------------------
 # Weight folding: Flax param tree -> flat per-conv dict with BN folded.
 # ---------------------------------------------------------------------------
 
 
-def _fold_trunk(params, batch_stats, arch_cfg) -> Dict[str, Any]:
+def _fold_trunk(params, batch_stats, arch_cfg,
+                include_middle: bool = False) -> Dict[str, Any]:
     """Flatten stem+entry+exit weights with each conv's following BN folded
     to (scale, shift). Depthwise kernels pass through unquantized (their
     BN sits after the pointwise, Keras SeparableConv2D semantics).
@@ -97,6 +110,17 @@ def _fold_trunk(params, batch_stats, arch_cfg) -> Dict[str, Any]:
 
     for i in range(len(arch_cfg["entry_blocks"])):
         block(f"entry{i}", bp[f"entry{i}"], bs[f"entry{i}"], 2)
+    if include_middle:
+        # Middle blocks: identity residual (strides=1, same width), three
+        # relu->dw->pw->BN sepconvs each (models/xception.py XceptionBlock).
+        for i in range(arch_cfg["middle_repeats"]):
+            blk_p, blk_s = bp[f"middle{i}"], bs[f"middle{i}"]
+            for j in range(3):
+                fw[f"middle{i}.dw{j}"] = np.asarray(
+                    blk_p[f"sep{j}"]["depthwise"]["kernel"]).astype(_CDTYPE)
+                conv_bn(f"middle{i}.pw{j}",
+                        blk_p[f"sep{j}"]["pointwise"]["kernel"],
+                        blk_p[f"bn{j}"], blk_s[f"bn{j}"])
     block("exit_block", bp["exit_block"], bs["exit_block"], 2)
     for i in range(len(arch_cfg["exit_convs"])):
         fw[f"exit_sep{i}.dw"] = np.asarray(
@@ -176,9 +200,24 @@ def _dwk(fw, qw, name):
     return (qw if qw is not None else fw)[name]
 
 
-def _forward(x, fw, qw, arch_cfg, middle_fn):
-    """stem + entry (+ middle via middle_fn) + exit -> pooled f32 feats.
-    Mirrors XceptionBackbone.__call__ (models/xception.py:117-187) with
+def _middle_quant(h, fw, qw, sites, n_blocks):
+    """w8a8 middle flow: identity-residual blocks of relu -> bf16 dw ->
+    int8 pw (+ folded BN), mirroring XceptionBlock(strides=1,
+    relu_first=True) — models/xception.py:88-114."""
+    for i in range(n_blocks):
+        g = h
+        for j in range(3):
+            g = jax.nn.relu(g)
+            g = _dw_conv(g, _dwk(fw, qw, f"middle{i}.dw{j}"))
+            g = _act(_mxu_conv(g, f"middle{i}.pw{j}", fw, qw, sites))
+        h = g + h
+    return h
+
+
+def _forward(x, fw, qw, arch_cfg, middle_fn, quant_middle: bool = False):
+    """stem + entry (+ middle via middle_fn, or quantized in-module when
+    quant_middle) + exit -> pooled f32 feats. Mirrors
+    XceptionBackbone.__call__ (models/xception.py:117-187) with
     inference BN folded. Returns (feats, sites)."""
     sites: Dict[str, jnp.ndarray] = {}
     h = _act(_mxu_conv(x.astype(jnp.float32), "conv1", fw, qw, sites,
@@ -189,7 +228,10 @@ def _forward(x, fw, qw, arch_cfg, middle_fn):
     for i in range(len(arch_cfg["entry_blocks"])):
         h = _block(h, f"entry{i}", fw, qw, sites, relu_first=(i != 0))
 
-    h = middle_fn(h)
+    if quant_middle:
+        h = _middle_quant(h, fw, qw, sites, arch_cfg["middle_repeats"])
+    else:
+        h = middle_fn(h)
 
     h = _block(h, "exit_block", fw, qw, sites, relu_first=True)
     for i in range(len(arch_cfg["exit_convs"])):
@@ -241,16 +283,23 @@ class Int8Calibrator:
     baked into the traced program (tunnel rule, CLAUDE.md)."""
 
     def __init__(self, model, params, batch_stats, interpret: bool = False,
-                 fused_trunk: Optional[bool] = None):
+                 fused_trunk: Optional[bool] = None,
+                 quant_middle: Optional[bool] = None):
         from ..models.xception import ARCHS
 
+        if quant_middle is None:
+            quant_middle = use_int8_middle()
         cfg = ARCHS[model.arch]
-        self._fw = jax.device_put(_fold_trunk(params, batch_stats, cfg))
+        self._fw = jax.device_put(
+            _fold_trunk(params, batch_stats, cfg,
+                        include_middle=quant_middle))
         self._params, self._batch_stats = params, batch_stats
 
         def _sites(fw, p, bs, x):
-            mid = _middle_fn(model, p, bs, interpret, fused_trunk)
-            return _forward(x, fw, None, cfg, mid)[1]
+            mid = (None if quant_middle
+                   else _middle_fn(model, p, bs, interpret, fused_trunk))
+            return _forward(x, fw, None, cfg, mid,
+                            quant_middle=quant_middle)[1]
 
         self._sites_fn = jax.jit(_sites)
         self._absmax: Dict[str, float] = {}
@@ -275,10 +324,12 @@ class Int8Calibrator:
 def calibrate_int8_trunk(model, params, batch_stats, x_sample,
                          interpret: bool = False,
                          fused_trunk: Optional[bool] = None,
+                         quant_middle: Optional[bool] = None,
                          ) -> Dict[str, float]:
     """One-shot calibration over a single representative batch (see
     Int8Calibrator for the accumulating variant)."""
-    cal = Int8Calibrator(model, params, batch_stats, interpret, fused_trunk)
+    cal = Int8Calibrator(model, params, batch_stats, interpret, fused_trunk,
+                         quant_middle)
     cal.update(x_sample)
     return cal.scales()
 
@@ -292,7 +343,11 @@ def prepare_int8_trunk(model, params, batch_stats,
     from ..models.xception import ARCHS
 
     cfg = ARCHS[model.arch]
-    fw = _fold_trunk(params, batch_stats, cfg)
+    # The calibration sites are the single source of truth for which convs
+    # are quantized — middle-flow entries appear iff the calibrator ran
+    # with quant_middle.
+    quant_middle = any(n.startswith("middle") for n in scales)
+    fw = _fold_trunk(params, batch_stats, cfg, include_middle=quant_middle)
     qw: Dict[str, Any] = {}
     for name, w in fw.items():
         if not isinstance(w, dict):  # depthwise kernel: pass through bf16
@@ -319,10 +374,15 @@ def trunk_features_int8(model, params, batch_stats, x, qw,
     Drop-in for ``model.apply(..., method='features')`` at inference;
     ``x`` is the preprocessed (normalized+standardized) f32 batch.
     ``fused_trunk`` overrides the middle-flow backend gate (passed through
-    from mc_dropout_predict)."""
+    from mc_dropout_predict). If ``qw`` carries middle-flow entries (it
+    was calibrated with quant_middle), the middle runs w8a8 in-module
+    instead of the bf16 backend."""
     from ..models.xception import ARCHS
 
     cfg = ARCHS[model.arch]
-    mid = _middle_fn(model, params, batch_stats, interpret, fused_trunk)
-    feats, _ = _forward(x, None, qw, cfg, mid)
+    quant_middle = any(n.startswith("middle") for n in qw)
+    mid = (None if quant_middle
+           else _middle_fn(model, params, batch_stats, interpret,
+                           fused_trunk))
+    feats, _ = _forward(x, None, qw, cfg, mid, quant_middle=quant_middle)
     return feats

@@ -99,6 +99,39 @@ class TestQuantizationError:
                / np.linalg.norm(ref_n, axis=1))
         assert rel.max() < 0.2, rel
 
+    def test_quant_middle_features_close_to_f32(self, tiny):
+        """quant_middle=True quantizes the middle-flow pointwise convs too;
+        features must stay faithful, and the qw tree must carry the middle
+        entries that trunk_features_int8 keys the in-module path on."""
+        from biscuit_tpu.models.xception import ARCHS
+        from biscuit_tpu.ops.int8_trunk import (
+            calibrate_int8_trunk,
+            prepare_int8_trunk,
+            trunk_features_int8,
+        )
+
+        model, params, batch_stats = tiny
+        scales = calibrate_int8_trunk(model, params, batch_stats, _batch(3),
+                                      quant_middle=True)
+        n_middle = ARCHS[model.arch]["middle_repeats"] * 3
+        assert sum(1 for s in scales if s.startswith("middle")) == n_middle
+        qw = prepare_int8_trunk(model, params, batch_stats, scales)
+        assert sum(1 for n, v in qw.items()
+                   if n.startswith("middle") and isinstance(v, dict)
+                   and v["k"].dtype == jnp.int8) == n_middle
+        x = _batch(4)
+        ref = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False, method="features")
+        got = trunk_features_int8(model, params, batch_stats, x, qw)
+        ref_n = np.asarray(ref, np.float64)
+        got_n = np.asarray(got, np.float64)
+        cos = np.sum(ref_n * got_n, axis=1) / (
+            np.linalg.norm(ref_n, axis=1) * np.linalg.norm(got_n, axis=1))
+        assert cos.min() > 0.98, cos
+        rel = (np.linalg.norm(got_n - ref_n, axis=1)
+               / np.linalg.norm(ref_n, axis=1))
+        assert rel.max() < 0.25, rel
+
     def test_int8_kernels_are_int8(self, tiny):
         from biscuit_tpu.ops.int8_trunk import (
             calibrate_int8_trunk,
