@@ -24,6 +24,8 @@ cross-checking.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional
 
 import jax
@@ -142,7 +144,8 @@ class UncertaintyInterface:
     def __init__(self, model_path: str, k: Optional[int] = None,
                  use_pallas: Optional[bool] = None,
                  int8_trunk: Optional[bool] = None,
-                 calib_tiles: Optional[int] = None):
+                 calib_tiles: Optional[int] = None,
+                 calibration_path: Optional[str] = None):
         from .trainer import load_checkpoint
 
         (self.model, self.params, self.batch_stats,
@@ -161,10 +164,25 @@ class UncertaintyInterface:
         # weights. This bounds the order-dependence of lazy calibration: a
         # single unrepresentative first batch (e.g. one background tile)
         # can no longer pin hard-clipping scales for the whole run.
+        # calibration_path makes quantized serving deterministic across
+        # processes: if the JSON exists its scales are loaded and the
+        # quantized trunk is ready from the first batch (no per-process
+        # f32 warmup); otherwise calibration runs as usual and the frozen
+        # scales are saved there for the next process.
         self._qw = None
         self._calib = None
+        self._scales = None
+        self._calibration_path = calibration_path
         if calib_tiles is not None:
             self._CALIB_MIN_TILES = int(calib_tiles)
+        if self._int8 and calibration_path is not None and os.path.exists(
+                calibration_path):
+            from ..ops.int8_trunk import prepare_int8_trunk
+
+            with open(calibration_path) as f:
+                self._scales = json.load(f)
+            self._qw = jax.device_put(prepare_int8_trunk(
+                self.model, self.params, self.batch_stats, self._scales))
 
         normalizer = self.wsi_normalizer
 
@@ -194,14 +212,27 @@ class UncertaintyInterface:
             self._calib.update(
                 inference_preprocess(tiles, self.wsi_normalizer))
             if self._calib.n_tiles >= self._CALIB_MIN_TILES:
+                self._scales = self._calib.scales()
                 self._qw = jax.device_put(prepare_int8_trunk(
                     self.model, self.params, self.batch_stats,
-                    self._calib.scales()))
+                    self._scales))
                 self._calib = None
+                if self._calibration_path is not None:
+                    self.save_calibration(self._calibration_path)
             # This batch contributed to calibration — answer it through
             # the exact f32 path regardless of whether we just froze.
             return None
         return self._qw
+
+    def save_calibration(self, path: str) -> None:
+        """Write the frozen activation scales as JSON (atomic) so another
+        process can skip calibration via ``calibration_path=``."""
+        if self._scales is None:
+            raise ValueError("int8 calibration has not been frozen yet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self._scales, f, indent=1)
+        os.replace(tmp, path)
 
     def __call__(self, tiles, key=None):
         """tiles: (B, H, W, 3) uint8/float RGB [0,255] -> (probs, uncertainty)."""

@@ -437,6 +437,37 @@ class TestSaveEvalInterface:
         assert np.abs(probs8 - probs).max() < 0.08, np.abs(
             probs8 - probs).max()
 
+    def test_int8_calibration_persistence(self, full_model, tmp_path):
+        """calibration_path: a second process loads the frozen scales and
+        serves quantized from its very first batch, bitwise-matching the
+        calibrating process's post-freeze outputs."""
+        import jax
+
+        from biscuit_tpu.train.uq import UncertaintyInterface
+
+        P, model_path = full_model
+        cal_json = str(tmp_path / "int8_calibration.json")
+        calib = np.stack(
+            [make_tile(i % 2, np.random.default_rng(300 + i))
+             for i in range(8)]
+        )
+        tiles = np.stack(
+            [make_tile(i % 2, np.random.default_rng(400 + i))
+             for i in range(8)]
+        )
+        key = jax.random.PRNGKey(3)
+        a = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=cal_json)
+        a(calib, key=key)  # freezes + saves
+        assert os.path.exists(cal_json)
+        pa, ua = a(tiles, key=key)
+        b = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=cal_json)
+        assert b._qw is not None  # ready before any batch
+        pb, ub = b(tiles, key=key)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
+
     def test_evaluate_project(self, full_model):
         P, model_path = full_model
         results = P.evaluate(model_path, "cohort")
