@@ -98,29 +98,33 @@ def _fold_trunk(params, batch_stats, arch_cfg,
     conv_bn("conv1", bp["conv1"]["kernel"], bp["conv1_bn"], bs["conv1_bn"])
     conv_bn("conv2", bp["conv2"]["kernel"], bp["conv2_bn"], bs["conv2_bn"])
 
+    def fold_sep(prefix, blk_p, blk_s, j):
+        fw[f"{prefix}.dw{j}"] = np.asarray(
+            blk_p[f"sep{j}"]["depthwise"]["kernel"]).astype(_CDTYPE)
+        conv_bn(f"{prefix}.pw{j}",
+                blk_p[f"sep{j}"]["pointwise"]["kernel"],
+                blk_p[f"bn{j}"], blk_s[f"bn{j}"])
+
     def block(prefix, blk_p, blk_s, n_seps):
         conv_bn(f"{prefix}.res", blk_p["res_conv"]["kernel"],
                 blk_p["res_bn"], blk_s["res_bn"])
         for j in range(n_seps):
-            fw[f"{prefix}.dw{j}"] = np.asarray(
-                blk_p[f"sep{j}"]["depthwise"]["kernel"]).astype(_CDTYPE)
-            conv_bn(f"{prefix}.pw{j}",
-                    blk_p[f"sep{j}"]["pointwise"]["kernel"],
-                    blk_p[f"bn{j}"], blk_s[f"bn{j}"])
+            fold_sep(prefix, blk_p, blk_s, j)
 
     for i in range(len(arch_cfg["entry_blocks"])):
         block(f"entry{i}", bp[f"entry{i}"], bs[f"entry{i}"], 2)
     if include_middle:
         # Middle blocks: identity residual (strides=1, same width), three
         # relu->dw->pw->BN sepconvs each (models/xception.py XceptionBlock).
+        # _middle_quant hard-codes that identity residual, which only holds
+        # when the middle width equals the last entry-block width — fail
+        # fast if a future ARCHS entry breaks the assumption.
+        assert arch_cfg["middle_width"] == arch_cfg["entry_blocks"][-1], (
+            "quantized middle flow assumes an identity residual "
+            "(middle_width == last entry width)")
         for i in range(arch_cfg["middle_repeats"]):
-            blk_p, blk_s = bp[f"middle{i}"], bs[f"middle{i}"]
             for j in range(3):
-                fw[f"middle{i}.dw{j}"] = np.asarray(
-                    blk_p[f"sep{j}"]["depthwise"]["kernel"]).astype(_CDTYPE)
-                conv_bn(f"middle{i}.pw{j}",
-                        blk_p[f"sep{j}"]["pointwise"]["kernel"],
-                        blk_p[f"bn{j}"], blk_s[f"bn{j}"])
+                fold_sep(f"middle{i}", bp[f"middle{i}"], bs[f"middle{i}"], j)
     block("exit_block", bp["exit_block"], bs["exit_block"], 2)
     for i in range(len(arch_cfg["exit_convs"])):
         fw[f"exit_sep{i}.dw"] = np.asarray(

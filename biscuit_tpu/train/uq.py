@@ -165,13 +165,16 @@ class UncertaintyInterface:
         # single unrepresentative first batch (e.g. one background tile)
         # can no longer pin hard-clipping scales for the whole run.
         # calibration_path makes quantized serving deterministic across
-        # processes: if the JSON exists its scales are loaded and the
+        # processes: if the JSON exists (and matches these weights and the
+        # current quant-middle setting) its scales are loaded and the
         # quantized trunk is ready from the first batch (no per-process
         # f32 warmup); otherwise calibration runs as usual and the frozen
         # scales are saved there for the next process.
         self._qw = None
         self._calib = None
         self._scales = None
+        self._model_path = model_path
+        self._digest = None
         self._calibration_path = calibration_path
         if calib_tiles is not None:
             self._CALIB_MIN_TILES = int(calib_tiles)
@@ -179,10 +182,11 @@ class UncertaintyInterface:
                 calibration_path):
             from ..ops.int8_trunk import prepare_int8_trunk
 
-            with open(calibration_path) as f:
-                self._scales = json.load(f)
-            self._qw = jax.device_put(prepare_int8_trunk(
-                self.model, self.params, self.batch_stats, self._scales))
+            scales = self._load_calibration(calibration_path)
+            if scales is not None:
+                self._scales = scales
+                self._qw = jax.device_put(prepare_int8_trunk(
+                    self.model, self.params, self.batch_stats, scales))
 
         normalizer = self.wsi_normalizer
 
@@ -218,20 +222,80 @@ class UncertaintyInterface:
                     self._scales))
                 self._calib = None
                 if self._calibration_path is not None:
-                    self.save_calibration(self._calibration_path)
+                    try:
+                        self.save_calibration(self._calibration_path)
+                    except OSError as e:
+                        # Persistence is an optimization — an unwritable
+                        # path must not abort serving (qw is frozen in
+                        # memory either way).
+                        from ..utils_log import log
+
+                        log.warning("could not save int8 calibration to "
+                                    "%s: %s", self._calibration_path, e)
             # This batch contributed to calibration — answer it through
             # the exact f32 path regardless of whether we just froze.
             return None
         return self._qw
 
+    def _weights_digest(self) -> Optional[str]:
+        """blake2b of the checkpoint weights file — fingerprints saved
+        calibration scales against the exact weights they were derived
+        from (stale scales silently clip activations on retrained
+        weights)."""
+        if self._digest is None:
+            import hashlib
+
+            p = os.path.join(self._model_path, "model.msgpack")
+            if not os.path.exists(p):
+                return None
+            h = hashlib.blake2b(digest_size=16)
+            with open(p, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            self._digest = h.hexdigest()
+        return self._digest
+
+    def _load_calibration(self, path: str):
+        """Return the saved scales, or None (-> recalibrate) if the file
+        is unrecognized, was made for different weights, or disagrees with
+        the current BISCUIT_INT8_MIDDLE setting."""
+        from ..ops.int8_trunk import use_int8_middle
+        from ..utils_log import log
+
+        with open(path) as f:
+            blob = json.load(f)
+        if not isinstance(blob, dict) or "scales" not in blob:
+            log.warning("unrecognized int8 calibration format at %s; "
+                        "recalibrating", path)
+            return None
+        if blob.get("weights_blake2b") != self._weights_digest():
+            log.warning("int8 calibration at %s was made for different "
+                        "weights; recalibrating", path)
+            return None
+        saved_middle = any(n.startswith("middle") for n in blob["scales"])
+        if saved_middle != use_int8_middle():
+            log.warning("int8 calibration at %s was made with "
+                        "quant_middle=%s but BISCUIT_INT8_MIDDLE is %s; "
+                        "recalibrating", path, saved_middle,
+                        use_int8_middle())
+            return None
+        return blob["scales"]
+
     def save_calibration(self, path: str) -> None:
-        """Write the frozen activation scales as JSON (atomic) so another
-        process can skip calibration via ``calibration_path=``."""
+        """Write the frozen activation scales as JSON (atomic), tagged
+        with the weights fingerprint, so another process can skip
+        calibration via ``calibration_path=``."""
         if self._scales is None:
             raise ValueError("int8 calibration has not been frozen yet")
+        blob = {
+            "version": 1,
+            "arch": self.model.arch,
+            "weights_blake2b": self._weights_digest(),
+            "scales": self._scales,
+        }
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(self._scales, f, indent=1)
+            json.dump(blob, f, indent=1)
         os.replace(tmp, path)
 
     def __call__(self, tiles, key=None):

@@ -468,6 +468,40 @@ class TestSaveEvalInterface:
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
         np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
 
+    def test_int8_calibration_guards(self, full_model, tmp_path):
+        """Stale/foreign calibration files are ignored (recalibrate), and
+        an unwritable calibration_path must not abort serving."""
+        import jax
+        import json as _json
+
+        from biscuit_tpu.train.uq import UncertaintyInterface
+
+        P, model_path = full_model
+        cal_json = str(tmp_path / "cal.json")
+        tiles = np.stack(
+            [make_tile(i % 2, np.random.default_rng(500 + i))
+             for i in range(8)]
+        )
+        a = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=cal_json)
+        a(tiles, key=jax.random.PRNGKey(0))
+        blob = _json.load(open(cal_json))
+        assert blob["weights_blake2b"] and "scales" in blob
+        # Tamper: different weights fingerprint -> loader must reject.
+        blob["weights_blake2b"] = "0" * 32
+        _json.dump(blob, open(cal_json, "w"))
+        b = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=cal_json)
+        assert b._qw is None  # recalibrates instead of loading stale scales
+        # Unwritable path: freeze succeeds in memory, serving continues.
+        c = UncertaintyInterface(
+            model_path, k=8, int8_trunk=True, calib_tiles=8,
+            calibration_path=str(tmp_path / "no_such_dir" / "cal.json"))
+        c(tiles, key=jax.random.PRNGKey(0))  # freezes; save fails silently
+        assert c._qw is not None
+        probs, _ = c(tiles, key=jax.random.PRNGKey(1))
+        assert np.all(np.isfinite(np.asarray(probs)))
+
     def test_evaluate_project(self, full_model):
         P, model_path = full_model
         results = P.evaluate(model_path, "cohort")
