@@ -25,8 +25,18 @@ with scales calibrated from f32 forwards (running absmax at each quant
 site). By default the middle flow keeps the fused bf16 Pallas kernel (its
 activations never leave VMEM, so int8's HBM win doesn't apply there);
 BISCUIT_INT8_MIDDLE=1 / quant_middle=True extends w8a8 to the middle
-pointwise convs too — a bet on the MXU's 2x int8 rate alone, measured
-separately on chip.
+pointwise convs too via XLA convs, a bet that int8's halved HBM bytes +
+doubled MXU beat the fused kernel's fusion margin — measured on chip.
+
+Why there is deliberately NO fused-int8 middle kernel (analysis, v5e,
+B=256 middle geometry): the fused bf16 kernel's 24.3 ms splits ~12 ms
+VPU taps + ~12 ms MXU pw (both near their issue/peak rates — tuning
+record in ops/fused_sepconv.py). int8 would halve the MXU half (-6 ms)
+but the per-unit quantize it requires (round+clip+cast over 19*19*256*728
+= 67M elements, x24 units, ~1 VPU pass each) costs ~4.8 ms back on the
+already-issue-bound VPU: net <5% for a Mosaic-int8-matmul risk. int8
+pays only where activations cross HBM between dw and pw — exactly the
+unfused XLA path that quant_middle uses.
 
 Science guard: quantization perturbs features, so this path is *inference
 opt-in only* and tests/test_int8_trunk.py pins (a) feature cosine
