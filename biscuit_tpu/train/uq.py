@@ -184,9 +184,21 @@ class UncertaintyInterface:
 
             scales = self._load_calibration(calibration_path)
             if scales is not None:
-                self._scales = scales
-                self._qw = jax.device_put(prepare_int8_trunk(
-                    self.model, self.params, self.batch_stats, scales))
+                try:
+                    qw = prepare_int8_trunk(
+                        self.model, self.params, self.batch_stats, scales)
+                except (KeyError, TypeError, ValueError) as e:
+                    # A blob that passed the format/digest guards can still
+                    # be incomplete (hand-edited, future revision): missing
+                    # or non-numeric per-site scales surface here. Fall back
+                    # to recalibration rather than aborting serving.
+                    from ..utils_log import log
+
+                    log.warning("int8 calibration at %s is unusable (%s); "
+                                "recalibrating", calibration_path, e)
+                else:
+                    self._scales = scales
+                    self._qw = jax.device_put(qw)
 
         normalizer = self.wsi_normalizer
 
@@ -262,9 +274,18 @@ class UncertaintyInterface:
         from ..ops.int8_trunk import use_int8_middle
         from ..utils_log import log
 
-        with open(path) as f:
-            blob = json.load(f)
-        if not isinstance(blob, dict) or "scales" not in blob:
+        try:
+            with open(path) as f:
+                blob = json.load(f)
+        except (OSError, ValueError, UnicodeDecodeError) as e:
+            # Truncated/corrupt JSON (partial copy, disk-full artifact) or
+            # a file that vanished/became unreadable after the exists()
+            # check must trigger recalibration, not abort the constructor.
+            log.warning("could not read int8 calibration at %s (%s); "
+                        "recalibrating", path, e)
+            return None
+        if (not isinstance(blob, dict) or
+                not isinstance(blob.get("scales"), dict)):
             log.warning("unrecognized int8 calibration format at %s; "
                         "recalibrating", path)
             return None
@@ -294,9 +315,19 @@ class UncertaintyInterface:
             "scales": self._scales,
         }
         tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(blob, f, indent=1)
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(blob, f, indent=1)
+            os.replace(tmp, path)
+        except BaseException:
+            # Callers treat a failed save as non-fatal; don't leave a stale
+            # .tmp.<pid> accumulating in the model dir when the write dies
+            # partway (disk-full, quota).
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def __call__(self, tiles, key=None):
         """tiles: (B, H, W, 3) uint8/float RGB [0,255] -> (probs, uncertainty)."""

@@ -502,6 +502,76 @@ class TestSaveEvalInterface:
         probs, _ = c(tiles, key=jax.random.PRNGKey(1))
         assert np.all(np.isfinite(np.asarray(probs)))
 
+    def test_int8_calibration_corrupt_files(self, full_model, tmp_path):
+        """Corrupt/truncated/incomplete calibration files must fall back to
+        recalibration, never crash the constructor; a failed atomic save
+        must not leak its .tmp file."""
+        import jax
+        import json as _json
+
+        from biscuit_tpu.train.uq import UncertaintyInterface
+
+        P, model_path = full_model
+        tiles = np.stack(
+            [make_tile(i % 2, np.random.default_rng(600 + i))
+             for i in range(8)]
+        )
+        # Produce a valid blob once so we can corrupt variations of it.
+        good = str(tmp_path / "good.json")
+        a = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=good)
+        a(tiles, key=jax.random.PRNGKey(0))
+        blob = _json.load(open(good))
+
+        # 1. Truncated JSON (partial copy / disk-full artifact).
+        trunc = tmp_path / "trunc.json"
+        trunc.write_text(open(good).read()[:40])
+        b = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8,
+                                 calibration_path=str(trunc))
+        assert b._qw is None  # recalibrates
+
+        # 2. Valid JSON, scales is not a dict.
+        bad_scales = tmp_path / "bad_scales.json"
+        bad_scales.write_text(_json.dumps({**blob, "scales": [1, 2, 3]}))
+        c = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8,
+                                 calibration_path=str(bad_scales))
+        assert c._qw is None
+
+        # 3. Passes digest/format guards but a conv site is missing ->
+        #    prepare_int8_trunk KeyError is caught, recalibrates.
+        incomplete = dict(blob)
+        incomplete["scales"] = {
+            k: v for k, v in blob["scales"].items() if k != "conv1"}
+        inc = tmp_path / "incomplete.json"
+        inc.write_text(_json.dumps(incomplete))
+        d = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=str(inc))
+        assert d._qw is None
+
+        # 4. Non-numeric scale value -> TypeError caught, recalibrates.
+        garbled = dict(blob)
+        garbled["scales"] = dict(blob["scales"], conv1="oops")
+        gar = tmp_path / "garbled.json"
+        gar.write_text(_json.dumps(garbled))
+        e = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=str(gar))
+        assert e._qw is None
+
+        # 5. save_calibration failure cleans up its temp file: point the
+        #    path at an existing directory so os.replace raises after the
+        #    tmp was written.
+        asdir = tmp_path / "iam_a_dir"
+        asdir.mkdir()
+        f = UncertaintyInterface(model_path, k=8, int8_trunk=True,
+                                 calib_tiles=8, calibration_path=str(asdir))
+        f(tiles, key=jax.random.PRNGKey(0))  # freeze; save fails non-fatally
+        assert f._qw is not None
+        leftovers = [p for p in tmp_path.iterdir()
+                     if p.name.startswith("iam_a_dir.tmp.")]
+        assert leftovers == []
+
     def test_evaluate_project(self, full_model):
         P, model_path = full_model
         results = P.evaluate(model_path, "cohort")
