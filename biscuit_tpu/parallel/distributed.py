@@ -26,9 +26,14 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Connect this host into a multi-host JAX runtime (no-op when JAX can
-    auto-detect or when already single-process)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    auto-detect or when already single-process).
+
+    The already-initialized check must NOT touch the backend:
+    ``jax.process_count()`` would initialize XLA, after which
+    ``jax.distributed.initialize`` refuses to run (caught by the real
+    two-process run in tests/test_distributed.py)."""
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is None and num_processes is None:
         # Single-host or TPU-pod auto-detection handles it.
         try:

@@ -1,0 +1,176 @@
+"""Multi-process DCN driver (spawned by test_distributed.py; not collected).
+
+Exercises parallel/distributed.py for real across OS processes: each process
+owns a few virtual CPU devices, ``distributed.initialize`` connects them
+through JAX's distributed runtime (Gloo collectives stand in for DCN), each
+process feeds its ``process_shard()`` slice of the global batch, and
+``distributed.global_batch`` assembles the sharded jax.Arrays the pjit train
+step consumes — exactly the multi-host recipe the module docstring
+prescribes for TPU pods (SURVEY.md §2.5/§5.8; no reference counterpart, the
+reference is single-process, experiment.py:753-922).
+
+Usage: python dcn_driver.py PID NPROC COORDINATOR DEVS_PER_PROC OUTFILE
+With NPROC=1 it runs the same computation single-process (the golden).
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    pid, nproc, coord, devs, outfile = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+        sys.argv[5])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs}")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("BISCUIT_JAX_CACHE",
+                       os.path.expanduser("~/.cache/biscuit_jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from biscuit_tpu.parallel import distributed
+
+    if nproc > 1:
+        distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == nproc * devs, jax.device_count()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from biscuit_tpu.hp import ModelParams
+    from biscuit_tpu.models.xception import build_model
+    from biscuit_tpu.parallel.mesh import (
+        batch_sharding,
+        data_parallel_mesh,
+        replicated,
+    )
+    from biscuit_tpu.train import trainer
+
+    # SGD, not Adam: the cross-topology comparison needs update math that
+    # doesn't amplify f32 reduction-order noise (Adam's g/sqrt(v) is ~sign(g)
+    # at step 1, so the ~1e-7 all-reduce ordering jitter between Gloo and
+    # intra-process reductions flips near-zero-gradient elements and the
+    # trajectories diverge visibly by step 2).
+    hp = ModelParams(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=8,
+        epochs=[1], early_stop=False, dropout=0.1, hidden_layer_width=32,
+        hidden_layers=1, learning_rate=1e-3, normalizer=None, augment="xy",
+        uq=False, optimizer="sgd")
+    model = build_model(hp)
+    tx = trainer.make_optimizer(hp)
+    params, batch_stats = trainer.init_model(model, hp, jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+
+    mesh = data_parallel_mesh()
+    rep = replicated(mesh)
+
+    def rep_global(tree):
+        # Fully-replicated global arrays from identical per-process host
+        # copies (every process computed the same init from the same seed).
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(jax.device_get(x))), tree)
+
+    params, batch_stats, opt_state = map(
+        rep_global, (params, batch_stats, opt_state))
+
+    step_fn = jax.jit(
+        trainer.make_train_step(model, tx, hp, normalizer=None),
+        in_shardings=(rep, rep, rep, batch_sharding(mesh),
+                      batch_sharding(mesh), batch_sharding(mesh), rep),
+        donate_argnums=(0, 1, 2),
+    )
+
+    # Deterministic global batches, identical in every process.
+    data_rng = np.random.default_rng(7)
+    n_steps, gbs = 2, 8
+    g_images = data_rng.integers(
+        0, 255, (n_steps, gbs, 32, 32, 3)).astype(np.uint8)
+    g_labels = (data_rng.random((n_steps, gbs)) < 0.5).astype(np.int32)
+    shard, num_shards = distributed.process_shard()
+    assert num_shards == nproc
+    rows = gbs // num_shards
+    lo, hi = shard * rows, (shard + 1) * rows
+
+    def make_batch(s):
+        return distributed.global_batch(
+            {"image": g_images[s, lo:hi],
+             "label": g_labels[s, lo:hi],
+             "mask": np.ones((rows,), np.float32)},
+            mesh)
+
+    def rep_key(seed):
+        return jax.make_array_from_process_local_data(
+            rep, np.asarray(jax.random.PRNGKey(seed)))
+
+    def checksum(tree):
+        return sum(jnp.sum(jnp.abs(x).astype(jnp.float32))
+                   for x in jax.tree.leaves(tree))
+
+    # K-pass MC-dropout UQ over the same global mesh (the headline
+    # inference path, train/uq.py), reduced to replicated scalars so every
+    # process can read and compare them.
+    from biscuit_tpu.train.uq import mc_dropout_predict
+
+    def uq_step(p, bs, images, key):
+        x = trainer.preprocess(images, None)
+        probs, unc = mc_dropout_predict(model, p, bs, x, key, k=4)
+        # Class-1 mean (the softmax mean over ALL classes is identically
+        # 1/n_classes — useless as a comparison statistic).
+        return jnp.mean(probs[:, 1]), jnp.mean(unc)
+
+    uq_fn = jax.jit(uq_step,
+                    in_shardings=(rep, rep, batch_sharding(mesh), rep),
+                    out_shardings=(rep, rep))
+    cks_fn = jax.jit(checksum, out_shardings=rep)
+
+    # AOT-compile every program BEFORE the first cross-process execution,
+    # then rendezvous at a coordination-service barrier (gRPC — no XLA
+    # collectives involved). On a contended 1-core box the concurrent
+    # compiles take minutes and skew the processes; Gloo's first-collective
+    # context init only waits ~30 s for its peers, so executing straight
+    # out of compile flakes with DEADLINE_EXCEEDED.
+    b0 = make_batch(0)
+    k0 = rep_key(100)
+    step_exe = step_fn.lower(params, batch_stats, opt_state, b0["image"],
+                             b0["label"], b0["mask"], k0).compile()
+    uq_exe = uq_fn.lower(params, batch_stats, b0["image"], k0).compile()
+    cks_exe = cks_fn.lower(params).compile()
+    if nproc > 1:
+        from jax._src import distributed as _jdist
+
+        _jdist.global_state.client.wait_at_barrier(
+            "biscuit_dcn_compiled", 600_000)
+
+    losses, accs, cks_steps = [], [], []
+    for s in range(n_steps):
+        batch = make_batch(s)
+        params, batch_stats, opt_state, metrics = step_exe(
+            params, batch_stats, opt_state, batch["image"], batch["label"],
+            batch["mask"], rep_key(100 + s))
+        losses.append(float(metrics["loss"]))
+        accs.append(float(metrics["acc"]))
+        cks_steps.append(float(cks_exe(params)))
+
+    cks = cks_steps[-1]
+    pm, um = uq_exe(params, batch_stats, make_batch(0)["image"],
+                    rep_key(999))
+
+    with open(outfile, "w") as f:
+        json.dump({"pid": pid, "losses": losses, "accs": accs,
+                   "params_checksum": cks, "cks_steps": cks_steps,
+                   "uq_probs_mean": float(pm), "uq_unc_mean": float(um)}, f)
+    print(f"proc {pid}/{nproc}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Cross-process data parallelism: parallel/distributed.py exercised over a
+real multi-process JAX runtime (2 OS processes x 2 virtual CPU devices,
+Gloo collectives standing in for DCN), validated against a single-process
+run of the identical global computation.
+
+The reference has no distributed runtime at all (SURVEY.md §2.5); this
+covers the multi-host seam the TPU build defines itself — previously
+documented as untestable single-host, now driven for real via
+``xla_force_host_platform_device_count`` in spawned subprocesses.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+DRIVER = os.path.join(os.path.dirname(__file__), "dcn_driver.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(pid, nproc, coord, devs, outfile):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # The driver overrides JAX_PLATFORMS/XLA_FLAGS itself before importing
+    # jax; clear them anyway so a failure there can't silently inherit the
+    # parent suite's 8-device config.
+    env.pop("XLA_FLAGS", None)
+    return subprocess.Popen(
+        [sys.executable, DRIVER, str(pid), str(nproc), coord, str(devs),
+         outfile],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def _run_group(nproc, devs, tmp_path, tag):
+    coord = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"{tag}_{i}.json") for i in range(nproc)]
+    procs = [_spawn(i, nproc, coord, devs, outs[i]) for i in range(nproc)]
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"driver failed:\n{lg[-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_two_process_train_matches_single_process(tmp_path):
+    """Two processes x two devices train the same global batch as one
+    process x four devices: every process sees identical replicated
+    metrics/params, and the multi-process result matches the
+    single-process golden."""
+    r2 = _run_group(2, 2, tmp_path, "mp")
+    golden = _run_group(1, 4, tmp_path, "sp")[0]
+
+    # Both processes observe the same replicated state (the all-reduce
+    # actually crossed the process boundary).
+    assert r2[0]["losses"] == r2[1]["losses"]
+    assert r2[0]["accs"] == r2[1]["accs"]
+    assert r2[0]["params_checksum"] == r2[1]["params_checksum"]
+
+    # The loss must be a real number from a real step (not a degenerate 0).
+    assert all(np.isfinite(r2[0]["losses"])) and r2[0]["losses"][0] > 0
+
+    # The K-pass UQ inference step crossed the boundary identically too.
+    assert r2[0]["uq_probs_mean"] == r2[1]["uq_probs_mean"]
+    assert r2[0]["uq_unc_mean"] == r2[1]["uq_unc_mean"]
+    assert 0.0 < r2[0]["uq_probs_mean"] < 1.0
+
+    # Cross-process == single-process on the identical global computation.
+    # Step-1 loss/acc is the pure forward+gradient parity check (params
+    # still bit-identical): only XLA reduction order may differ between
+    # the Gloo cross-process all-reduce and the intra-process one, ~1e-7.
+    np.testing.assert_allclose(
+        r2[0]["losses"][0], golden["losses"][0], rtol=1e-5)
+    assert r2[0]["accs"] == golden["accs"]
+    # Post-update trajectories: per-step parameter checksums agree at f32
+    # granularity. The step-2 LOSS is deliberately compared loosely —
+    # train-mode BatchNorm over an 8-row batch amplifies the ~1e-7
+    # all-reduce ordering jitter into O(1e-3) loss differences (measured;
+    # chaotic conditioning of the tiny fixture, not a sharding bug — the
+    # per-process agreement above is the bitwise guarantee).
+    np.testing.assert_allclose(
+        r2[0]["cks_steps"], golden["cks_steps"], rtol=1e-6)
+    np.testing.assert_allclose(
+        r2[0]["losses"][1], golden["losses"][1], atol=0.02)
+    np.testing.assert_allclose(
+        r2[0]["uq_probs_mean"], golden["uq_probs_mean"], atol=5e-3)
+    np.testing.assert_allclose(
+        r2[0]["uq_unc_mean"], golden["uq_unc_mean"], rtol=0.10, atol=1e-4)
