@@ -54,6 +54,55 @@ def process_shard() -> tuple[int, int]:
     return jax.process_index(), jax.process_count()
 
 
+def is_main() -> bool:
+    """True on the process that owns shared-filesystem artifact writes
+    (model dirs, CSVs, checkpoints). Trivially true single-process."""
+    return jax.process_index() == 0
+
+
+_BARRIER_SEQ = [0]
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Uses the coordination-service barrier (gRPC), NOT an XLA collective:
+    it must be safe to call while other processes are minutes deep in a
+    host-side section (e.g. main writing prediction CSVs), which would
+    blow Gloo/NCCL per-op timeouts. Each call gets a unique barrier id;
+    all processes must execute the same barrier() call sequence.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+
+    _BARRIER_SEQ[0] += 1
+    _dist.global_state.client.wait_at_barrier(
+        f"biscuit_{name}_{_BARRIER_SEQ[0]}", timeout_ms)
+
+
+_KV_SEQ = [0]
+
+
+def broadcast_from_main(name: str, value: Optional[str],
+                        timeout_ms: int = 600_000) -> str:
+    """Main publishes a string; every other process blocks until it
+    arrives. Single-process: returns value unchanged. All processes must
+    execute the same broadcast call sequence (an internal counter keys
+    each exchange uniquely within the run)."""
+    if jax.process_count() == 1:
+        return value
+    from jax._src import distributed as _dist
+
+    _KV_SEQ[0] += 1
+    key = f"biscuit_kv_{name}_{_KV_SEQ[0]}"
+    client = _dist.global_state.client
+    if is_main():
+        client.key_value_set(key, value)
+        return value
+    return client.blocking_key_value_get(key, timeout_ms)
+
+
 def global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:
     """Assemble a process-local host batch into global sharded arrays.
 

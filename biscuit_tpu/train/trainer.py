@@ -158,6 +158,24 @@ def make_eval_step(model, normalizer):
     return eval_step
 
 
+def make_val_metrics_step(model, normalizer):
+    """(correct, total) counts for the mid-training early-stop check,
+    reduced IN-JIT so the outputs are replicated scalars: under multi-host
+    training every process reads identical values and takes the identical
+    early-stop branch (a per-process host-side reduction would act on
+    that process's addressable shard only and desynchronize the fleet)."""
+
+    def val_metrics(params, batch_stats, images, labels, mask):
+        x = preprocess(images, normalizer)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        correct = ((jnp.argmax(logits, -1) == labels) * mask).sum()
+        return correct, mask.sum()
+
+    return val_metrics
+
+
 # -----------------------------------------------------------------------------
 # Step-program cache
 # -----------------------------------------------------------------------------
@@ -213,13 +231,14 @@ def _cached_train_step(hp: ModelParams, mesh, model, tx, normalizer):
     ))
 
 
-def _cached_eval_step(hp: ModelParams, mesh, model, normalizer):
+def _cached_val_metrics_step(hp: ModelParams, mesh, model, normalizer):
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
-    key = ("eval", _model_fingerprint(hp), _mesh_fingerprint(mesh))
+    key = ("val_metrics", _model_fingerprint(hp), _mesh_fingerprint(mesh))
     return _cached_fn(key, lambda: jax.jit(
-        make_eval_step(model, normalizer),
-        in_shardings=(r_shard, r_shard, b_shard),
+        make_val_metrics_step(model, normalizer),
+        in_shardings=(r_shard, r_shard, b_shard, b_shard, b_shard),
+        out_shardings=(r_shard, r_shard),
     ))
 
 
@@ -287,9 +306,17 @@ def predict_tiles(
     key = jax.random.PRNGKey(42)
     rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
     probs_all, unc_all = [], []
+    # Under a multi-process runtime jax.jit refuses host numpy for
+    # non-replicated in_shardings even on a fully-addressable (local)
+    # mesh — place the batch explicitly. Single-process keeps the
+    # auto-placement fast path.
+    multiproc = jax.process_count() > 1
     for batch in batcher:
         key, sub = jax.random.split(key)
-        probs, unc = infer(params, batch_stats, batch["image"], sub)
+        images = batch["image"]
+        if multiproc:
+            images = jax.device_put(images, batch_sharding(mesh))
+        probs, unc = infer(params, batch_stats, images, sub)
         probs = np.asarray(probs)
         unc = np.asarray(unc) if unc is not None else None
         m = np.asarray(batch["mask"])
@@ -545,7 +572,37 @@ def _train_single(
         mesh = data_parallel_mesh()
     normalizer = make_normalizer(hp.normalizer)
     train_step = _cached_train_step(hp, mesh, model, tx, normalizer)
-    eval_step = _cached_eval_step(hp, mesh, model, normalizer)
+    val_metrics_step = _cached_val_metrics_step(hp, mesh, model, normalizer)
+
+    # Multi-host (DCN) mode: with jax.distributed initialized, every process
+    # runs this function in lockstep over the global mesh. Each host decodes
+    # its process_shard() slice of the tile stream (1/N of the batch),
+    # global batches are assembled via make_array_from_process_local_data,
+    # and shared-filesystem artifacts (model dir, CSVs, predictions,
+    # checkpoints) are written by the main process only. Exercised for real
+    # across OS processes in tests/test_distributed.py.
+    from ..parallel import distributed as dist
+
+    shard_i, n_shards = dist.process_shard()
+    multihost = n_shards > 1
+    main = dist.is_main()
+    if multihost:
+        if hp.batch_size % n_shards:
+            raise ValueError(
+                f"batch_size {hp.batch_size} must divide evenly across "
+                f"{n_shards} processes")
+        if checkpoint_every:
+            log.warning("in-run Orbax checkpointing is not supported under "
+                        "multi-host training; disabling")
+            checkpoint_every = None
+    local_bs = hp.batch_size // n_shards
+
+    def _feed(b):
+        """Host batch -> train/val step feed. Single-process: host arrays
+        (jit auto-places them); multi-host: global sharded jax.Arrays."""
+        fb = {"image": b["image"], "label": b["label"],
+              "mask": np.asarray(b["mask"], np.float32)}
+        return dist.global_batch(fb, mesh) if multihost else fb
 
     # --- model dir -------------------------------------------------------------
     # Re-launch semantics: an existing dir for this (outcome, label, kfold)
@@ -557,54 +614,94 @@ def _train_single(
     # Lock so concurrent submesh trainings (parallel/scheduler.py) allocate
     # distinct run numbers; creation inside the lock makes the new dir
     # visible to the next _next_run_number scan.
-    with _MODEL_DIR_LOCK:
-        incomplete = [
-            d for d in os.listdir(project.models_dir)
-            if d[6:] == wanted_suffix
-            and not os.path.exists(
-                join(project.models_dir, d, "results_log.csv"))
-        ]
-        if incomplete:
-            model_dir = join(project.models_dir, sorted(incomplete)[-1])
-            log.info(f"Reusing incomplete run dir {model_dir}")
-        else:
-            n = _next_run_number(project.models_dir)
-            model_dir = join(
-                project.models_dir,
-                _model_dir_name(n, outcome, exp_label, kfold),
-            )
-        os.makedirs(model_dir, exist_ok=True)
-    pd.DataFrame(
-        [{"slide": s, "dataset": "training"} for s in train_slides]
-        + [{"slide": s, "dataset": "validation"} for s in val_slides]
-    ).to_csv(join(model_dir, "slide_manifest.csv"), index=False)
-    with open(join(model_dir, "params.json"), "w") as f:
-        json.dump({"hp": hp.to_dict(), "outcome": outcome,
-                   "label": exp_label, "kfold": kfold}, f, indent=2)
+    model_dir = None
+    if main:
+        with _MODEL_DIR_LOCK:
+            incomplete = [
+                d for d in os.listdir(project.models_dir)
+                if d[6:] == wanted_suffix
+                and not os.path.exists(
+                    join(project.models_dir, d, "results_log.csv"))
+            ]
+            if incomplete:
+                model_dir = join(project.models_dir, sorted(incomplete)[-1])
+                log.info(f"Reusing incomplete run dir {model_dir}")
+            else:
+                n = _next_run_number(project.models_dir)
+                model_dir = join(
+                    project.models_dir,
+                    _model_dir_name(n, outcome, exp_label, kfold),
+                )
+            os.makedirs(model_dir, exist_ok=True)
+    # Main allocates the run dir on the shared filesystem; the other
+    # processes receive its name (they never scan/create, so run-number
+    # allocation cannot race across hosts).
+    model_dir = dist.broadcast_from_main("model_dir", model_dir)
+    if main:
+        pd.DataFrame(
+            [{"slide": s, "dataset": "training"} for s in train_slides]
+            + [{"slide": s, "dataset": "validation"} for s in val_slides]
+        ).to_csv(join(model_dir, "slide_manifest.csv"), index=False)
+        with open(join(model_dir, "params.json"), "w") as f:
+            json.dump({"hp": hp.to_dict(), "outcome": outcome,
+                       "label": exp_label, "kfold": kfold}, f, indent=2)
 
     train_tfr = [by_slide[s] for s in train_slides if s in by_slide]
     val_tfr = [by_slide[s] for s in val_slides if s in by_slide]
 
     train_batcher = TileBatcher(
-        train_tfr, labels, batch_size=hp.batch_size, shuffle=True,
+        train_tfr, labels, batch_size=local_bs, shuffle=True,
         infinite=True, seed=seed, jpeg_aug=("j" in (hp.augment or "")),
         max_tiles=max_tiles, tile_px=hp.tile_px,
+        shard=shard_i, num_shards=n_shards,
     )
-    n_tiles = len(train_batcher)
+    n_tiles = len(train_batcher) * n_shards
     steps_per_epoch = max(1, n_tiles // hp.batch_size)
     if steps_per_epoch_override:
         steps_per_epoch = int(steps_per_epoch_override)
+    if multihost:
+        # Tile-level sharding can be off-by-one between shards; pin every
+        # process to main's epoch length so the lockstep loop can't skew.
+        steps_per_epoch = int(dist.broadcast_from_main(
+            "steps_per_epoch", str(steps_per_epoch) if main else None))
     max_epoch = max(hp.epochs)
 
     # Small held-out stream for mid-training early-stop checks.
     val_batcher = None
     if val_tfr and hp.early_stop:
         val_batcher = TileBatcher(
-            val_tfr, labels, batch_size=hp.batch_size, shuffle=True,
+            val_tfr, labels, batch_size=local_bs, shuffle=True,
             infinite=True, seed=seed + 1, max_tiles=max_tiles,
-            tile_px=hp.tile_px,
+            tile_px=hp.tile_px, shard=shard_i, num_shards=n_shards,
         )
         val_iter = iter(val_batcher)
+
+    if multihost:
+        # AOT-compile the step programs, THEN align at a coordination
+        # barrier before the first execution. Concurrent step compiles can
+        # skew the processes by minutes, while the first collective's Gloo
+        # context init only waits ~30 s for its peers — executing straight
+        # out of compile flakes with DEADLINE_EXCEEDED (measured in
+        # tests/test_distributed.py). The jit call in the loop then reloads
+        # the program from the persistent compile cache in seconds.
+        def _sds(shape, dtype, sharding):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+        b_sh = batch_sharding(mesh)
+        r_sh = replicated(mesh)
+        rep_tree = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: _sds(x.shape, x.dtype, r_sh), t)
+        img_s = _sds((hp.batch_size, hp.tile_px, hp.tile_px, 3), jnp.uint8,
+                     b_sh)
+        lbl_s = _sds((hp.batch_size,), jnp.int32, b_sh)
+        msk_s = _sds((hp.batch_size,), jnp.float32, b_sh)
+        key_s = _sds((2,), jnp.uint32, r_sh)
+        p_s, bs_s, o_s = map(rep_tree, (params, batch_stats, opt_state))
+        train_step.lower(p_s, bs_s, o_s, img_s, lbl_s, msk_s,
+                         key_s).compile()
+        if val_batcher is not None:
+            val_metrics_step.lower(p_s, bs_s, img_s, lbl_s, msk_s).compile()
+        dist.barrier("step_programs_compiled")
 
     # --- training loop -----------------------------------------------------------
     # Observability (SURVEY.md §5.1/§5.5): per-step metrics stream to
@@ -661,10 +758,10 @@ def _train_single(
                 # of decodes) that only changes which i.i.d. shuffle the
                 # remaining steps see.
                 continue
-            batch = next(train_iter)
+            fb = _feed(next(train_iter))
             params, batch_stats, opt_state, metrics = train_step(
-                params, batch_stats, opt_state, batch["image"],
-                batch["label"], batch["mask"].astype(np.float32), sub,
+                params, batch_stats, opt_state, fb["image"],
+                fb["label"], fb["mask"], sub,
             )
             ckpt.save(step, params, batch_stats, opt_state)
             if step % 10 == 0 or step == 1:
@@ -688,17 +785,18 @@ def _train_single(
                 and step % validate_on_batch == 0
                 and early_stop_batch is None
             ):
-                correct = total = 0
+                correct = total = 0.0
                 for _ in range(max(1, validation_steps)):
-                    vb = next(val_iter)
-                    probs = np.asarray(
-                        eval_step(params, batch_stats, vb["image"])
+                    vb = _feed(next(val_iter))
+                    c, t = val_metrics_step(
+                        params, batch_stats, vb["image"], vb["label"],
+                        vb["mask"],
                     )
-                    m = np.asarray(vb["mask"])
-                    correct += (
-                        (probs.argmax(-1) == vb["label"]) * m
-                    ).sum()
-                    total += m.sum()
+                    # Replicated scalars: identical on every process, so
+                    # the early-stop branch below cannot desynchronize a
+                    # multi-host fleet.
+                    correct += float(c)
+                    total += float(t)
                 val_acc = correct / max(total, 1)
                 if es_ema is None:
                     es_window.append(val_acc)
@@ -725,7 +823,20 @@ def _train_single(
         epoch_already_done = (
             step <= restored_step and not stopped
         )
-        if (epoch in hp.epochs or stopped) and not epoch_already_done:
+        if multihost and (epoch in hp.epochs or stopped):
+            # Predictions/results are written once, by main, over its own
+            # LOCAL devices (a global-mesh inference would need every
+            # process to feed + read back non-addressable outputs for a
+            # host-side CSV only main writes). The others wait at a
+            # coordination-service barrier — NOT at their next collective,
+            # whose transport timeout is far shorter than a prediction
+            # sweep.
+            if main:
+                local_mesh = data_parallel_mesh(jax.local_devices())
+                params_h = jax.device_get(params)
+                batch_stats_h = jax.device_get(batch_stats)
+        if (epoch in hp.epochs or stopped) and not epoch_already_done \
+                and main:
             # On an early stop mid-epoch, record under the next declared
             # epoch so the on-disk filename contract (readers expect
             # tile_predictions_val_epoch{E} for E in hp.epochs) holds.
@@ -738,8 +849,11 @@ def _train_single(
             row = {"model_name": f"{outcome}-{exp_label}-HP0_epoch{epoch}"}
             if val_tfr:
                 df, probs, unc = predict_tiles(
-                    params, batch_stats, model, hp, val_tfr, labels,
-                    mesh=mesh, max_tiles=max_tiles,
+                    params_h if multihost else params,
+                    batch_stats_h if multihost else batch_stats,
+                    model, hp, val_tfr, labels,
+                    mesh=local_mesh if multihost else mesh,
+                    max_tiles=max_tiles,
                 )
                 tile_df = tile_predictions_frame(outcome, df, probs, unc)
                 _write_predictions(
@@ -786,6 +900,8 @@ def _train_single(
                     model_dir, params, batch_stats, hp, epoch, outcome,
                     exp_label, kfold,
                 )
+        if multihost and (epoch in hp.epochs or stopped):
+            dist.barrier("epoch_artifacts")
         if stopped:
             break  # early stop halts the remaining epochs
 
@@ -795,11 +911,12 @@ def _train_single(
     ckpt.close()
     if profiling:
         jax.profiler.stop_trace()
-    if step_log:
-        pd.DataFrame(step_log).to_csv(
-            join(model_dir, "train_log.csv"), index=False
+    if main:
+        if step_log:
+            pd.DataFrame(step_log).to_csv(
+                join(model_dir, "train_log.csv"), index=False
+            )
+        pd.DataFrame(results_rows).to_csv(
+            join(model_dir, "results_log.csv"), index=False
         )
-    pd.DataFrame(results_rows).to_csv(
-        join(model_dir, "results_log.csv"), index=False
-    )
     return model_dir

@@ -9,13 +9,40 @@ step consumes — exactly the multi-host recipe the module docstring
 prescribes for TPU pods (SURVEY.md §2.5/§5.8; no reference counterpart, the
 reference is single-process, experiment.py:753-922).
 
-Usage: python dcn_driver.py PID NPROC COORDINATOR DEVS_PER_PROC OUTFILE
+Usage: python dcn_driver.py PID NPROC COORDINATOR DEVS_PER_PROC OUTFILE \
+           [e2e PROJECT_ROOT]
 With NPROC=1 it runs the same computation single-process (the golden).
+The optional ``e2e PROJECT_ROOT`` mode runs a full ``train_project`` fold
+(k-fold + early-stop + UQ predictions) over a pre-built synthetic project
+on the shared filesystem instead of the hand-rolled step loop.
 """
 
 import json
 import os
 import sys
+
+
+def _e2e(outfile, project_root):
+    """Full train_project over the global mesh (every process runs this;
+    main writes the artifact tree)."""
+    import jax
+
+    from biscuit_tpu.hp import ModelParams
+    from biscuit_tpu.project import Project
+
+    P = Project(project_root)
+    hp = ModelParams(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=8,
+        epochs=[1], early_stop=True, early_stop_method="accuracy",
+        dropout=0.1, hidden_layer_width=32, hidden_layers=1,
+        learning_rate=3e-3, normalizer=None, augment="xy", uq=True,
+        uq_samples=4)
+    dirs = P.train(
+        "cohort", exp_label="DCN_E2E", params=hp, val_strategy="k-fold",
+        val_k=[1], val_k_fold=2, validate_on_batch=8, validation_steps=2)
+    with open(outfile, "w") as f:
+        json.dump({"pid": jax.process_index(), "model_dirs": dirs}, f)
+    print(f"proc {jax.process_index()}: E2E OK", flush=True)
 
 
 def main():
@@ -42,6 +69,10 @@ def main():
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == nproc * devs, jax.device_count()
+
+    if len(sys.argv) > 6 and sys.argv[6] == "e2e":
+        _e2e(outfile, sys.argv[7])
+        return
 
     import numpy as np
     import jax.numpy as jnp

@@ -9,6 +9,7 @@ documented as untestable single-host, now driven for real via
 ``xla_force_host_platform_device_count`` in spawned subprocesses.
 """
 
+import io
 import json
 import os
 import socket
@@ -16,6 +17,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pandas as pd
 
 DRIVER = os.path.join(os.path.dirname(__file__), "dcn_driver.py")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,7 +29,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _spawn(pid, nproc, coord, devs, outfile):
+def _spawn(pid, nproc, coord, devs, outfile, extra=()):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # The driver overrides JAX_PLATFORMS/XLA_FLAGS itself before importing
@@ -36,18 +38,54 @@ def _spawn(pid, nproc, coord, devs, outfile):
     env.pop("XLA_FLAGS", None)
     return subprocess.Popen(
         [sys.executable, DRIVER, str(pid), str(nproc), coord, str(devs),
-         outfile],
+         outfile, *extra],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
 
-def _run_group(nproc, devs, tmp_path, tag):
+def _run_group(nproc, devs, tmp_path, tag, extra=()):
     coord = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"{tag}_{i}.json") for i in range(nproc)]
-    procs = [_spawn(i, nproc, coord, devs, outs[i]) for i in range(nproc)]
+    procs = [_spawn(i, nproc, coord, devs, outs[i], extra)
+             for i in range(nproc)]
     logs = [p.communicate(timeout=900)[0] for p in procs]
     for p, lg in zip(procs, logs):
         assert p.returncode == 0, f"driver failed:\n{lg[-3000:]}"
     return [json.load(open(o)) for o in outs]
+
+
+def _make_project(tmp_path, n_slides=12, tiles_per=16):
+    """Synthetic class-separable project on the (shared) test filesystem."""
+    from PIL import Image
+
+    from biscuit_tpu.data.tfrecord import TFRecordWriter
+    from biscuit_tpu.project import Project
+
+    rng = np.random.default_rng(0)
+
+    def make_tile(label):
+        img = rng.integers(40, 120, (32, 32, 3)).astype(np.uint8)
+        c = 0 if label == 0 else 2
+        img[..., c] = np.clip(img[..., c] + 100, 0, 255)
+        return img
+
+    ann = pd.DataFrame(
+        [dict(patient=f"T-{i:02d}", slide=f"sl{i}",
+              cohort="LUAD" if i % 2 == 0 else "LUSC", site=f"{i // 2}")
+         for i in range(n_slides)])
+    ann_path = str(tmp_path / "ann.csv")
+    ann.to_csv(ann_path, index=False)
+    tfr = tmp_path / "tfr"
+    tfr.mkdir()
+    for i in range(n_slides):
+        with TFRecordWriter(str(tfr / f"sl{i}.tfrecords")) as w:
+            for t in range(tiles_per):
+                buf = io.BytesIO()
+                Image.fromarray(make_tile(i % 2)).save(buf, format="PNG")
+                w.write_tile(f"sl{i}", buf.getvalue(), loc_x=t, loc_y=0)
+    P = Project(str(tmp_path / "root"), annotations=ann_path, name="dcn",
+                create=True)
+    P.add_source("SRC", tfrecords=str(tfr))
+    return P
 
 
 def test_two_process_train_matches_single_process(tmp_path):
@@ -93,3 +131,40 @@ def test_two_process_train_matches_single_process(tmp_path):
         r2[0]["uq_probs_mean"], golden["uq_probs_mean"], atol=5e-3)
     np.testing.assert_allclose(
         r2[0]["uq_unc_mean"], golden["uq_unc_mean"], rtol=0.10, atol=1e-4)
+
+
+def test_two_process_train_project_end_to_end(tmp_path):
+    """Full train_project fold over 2 processes x 2 devices against a
+    shared synthetic project: exactly one model dir is produced, with the
+    complete SURVEY §2.4 artifact tree, written only by the main process.
+    (Numerics legitimately differ from a single-process run — tile-level
+    host sharding changes batch composition — so assertions are
+    contract-structural plus a learning sanity check.)"""
+    from biscuit_tpu import utils
+
+    P = _make_project(tmp_path)
+    r = _run_group(2, 2, tmp_path, "e2e", extra=("e2e", P.root))
+    assert r[0]["model_dirs"] == r[1]["model_dirs"]
+
+    model_dir = r[0]["model_dirs"][0]
+    for fname in ("slide_manifest.csv", "params.json", "results_log.csv",
+                  "tile_predictions_val_epoch1.csv",
+                  "patient_predictions_cohort_val_epoch1.csv",
+                  "slide_predictions_cohort_val_epoch1.csv"):
+        assert os.path.exists(os.path.join(model_dir, fname)), fname
+
+    res = utils.get_model_results(model_dir, outcome="cohort", epoch=1)
+    assert 0.0 <= res["tile_auc"] <= 1.0
+    # Class-separable toy data: even one epoch must beat coin-flip.
+    assert res["tile_auc"] > 0.6, res["tile_auc"]
+
+    tile_df = pd.read_csv(
+        os.path.join(model_dir, "tile_predictions_val_epoch1.csv"))
+    # Every validation tile predicted exactly once (6 val slides x 16).
+    assert len(tile_df) == 6 * 16, len(tile_df)
+    assert "cohort_uncertainty1" in tile_df.columns
+
+    # Exactly one model dir for the label: the broadcast allocation kept
+    # the second process from creating its own.
+    dirs = [d for d in os.listdir(P.models_dir) if "DCN_E2E" in d]
+    assert len(dirs) == 1, dirs
