@@ -52,6 +52,17 @@ class SubmeshScheduler:
 
     def __init__(self, n_submeshes: Optional[int] = None,
                  devices: Optional[Sequence] = None):
+        if jax.process_count() > 1 and devices is None:
+            # Submesh concurrency and multi-host DP are mutually exclusive
+            # per training: a submesh spanning only part of each host's
+            # devices would need every process to co-execute every task,
+            # defeating the scheduler's independent-task model. Run one
+            # process per host with its LOCAL devices instead (pass
+            # devices=jax.local_devices()), or drop n_submeshes.
+            raise ValueError(
+                "SubmeshScheduler over the global device set is "
+                "unsupported under a multi-process runtime; pass "
+                "devices=jax.local_devices() to schedule within this host")
         if devices is None:
             devices = jax.devices()
         if n_submeshes is None:
