@@ -5,10 +5,11 @@ in-jit prefix chains (the only honest timing through the remote tunnel —
 CLAUDE.md gotcha: both same-args-repeated and independent-dispatch
 timings lie):
 
-  P0  preprocess (uint8 -> reinhard_fast -> standardize)
-  P1  P0 + augmentation (xyrjb on-chip part)
-  P2  P1 + forward loss (train-mode Xception + head + CE)
-  P3  full step (P2 + backward + optimizer update)
+  P0  on-chip JPEG augmentation ('j' as DCT matmuls, data/augment.py)
+  P1  P0 + preprocess (uint8 -> reinhard_fast -> standardize)
+  P2  P1 + augmentation (xyrb on-chip part)
+  P3  P2 + forward loss (train-mode Xception + head + CE)
+  P4  full step (P3 + backward + optimizer update)
 
 Phase cost = successive prefix deltas. The question the VERDICT poses:
 is the preprocess worth fusing into the train step (its input is uint8
@@ -34,7 +35,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from biscuit_tpu.data.augment import augment_batch
+    from biscuit_tpu.data.augment import augment_batch, jpeg_augment_batch
     from biscuit_tpu.data.normalize import make_normalizer
     from biscuit_tpu.hp import nature2022
     from biscuit_tpu.models.xception import build_model
@@ -59,12 +60,15 @@ def main():
     opt_state = jax.device_put(opt_state)
 
     def phase(images, key, upto, params, batch_stats, opt_state):
-        aug_key, drop_key = jax.random.split(key)
-        x = trainer.preprocess(images, normalizer)
+        aug_key, drop_key, jpeg_key = jax.random.split(key, 3)
+        raw = jpeg_augment_batch(images, jpeg_key)
         if upto == 0:
+            return jnp.sum(raw.astype(jnp.float32)) * 1e-12
+        x = trainer.preprocess(raw, normalizer)
+        if upto == 1:
             return jnp.sum(x) * 1e-12
         x = augment_batch(x, aug_key, augment=hp.augment)
-        if upto == 1:
+        if upto == 2:
             return jnp.sum(x) * 1e-12
 
         def loss_fn(p):
@@ -76,7 +80,7 @@ def main():
                 logits, jnp.maximum(labels, 0))
             return (ce * mask).sum() / mask.sum(), updates["batch_stats"]
 
-        if upto == 2:
+        if upto == 3:
             loss, _bs = loss_fn(params)
             return loss * 1e-12
         (loss, _bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -85,10 +89,10 @@ def main():
         return jax.tree_util.tree_reduce(
             lambda a, b: a + jnp.sum(b) * 1e-12, new_params, 0.0) * 1e-12
 
-    names = ["preprocess", "+augment", "+forward", "full step"]
+    names = ["jpeg", "+preprocess", "+augment", "+forward", "full step"]
     prev = 0.0
     print(f"{'prefix':12s} {'ms/iter':>9s} {'delta ms':>9s}")
-    for upto in range(4):
+    for upto in range(5):
         @partial(jax.jit, static_argnames=())
         def chain(images, n, params=params, batch_stats=batch_stats,
                   opt_state=opt_state, upto=upto):

@@ -6,12 +6,17 @@ pipeline: x = random horizontal flip, y = random vertical flip, r = random
 cardinal (90-degree) rotation, j = random JPEG re-compression, b = random
 Gaussian blur.
 
-TPU-first redesign: flips/rotations/blur run on-chip, vectorized over the
+TPU-first redesign: ALL five policies run on-chip, vectorized over the
 batch with per-image randomness from a single threaded PRNG key — they fuse
-with the stain normalizer into one XLA program. JPEG re-compression is a
-codec operation; it runs host-side in the input pipeline
-(:func:`jpeg_augment_host`) exactly as slideflow does it on CPU, with the
-same 50-100 quality range and application probability.
+with the stain normalizer into one XLA program. JPEG re-compression's lossy
+core (color convert, 4:2:0 subsample, 8x8 DCT, quantize, IDCT) is linear
+algebra, so by default it runs on-chip too (:func:`jpeg_augment_batch`,
+DCT as MXU matmuls) on the raw uint8 batch ahead of normalization — the
+same point in the math as slideflow's host codec, with the same 50-100
+quality range and application probability; parity vs the real codec pinned
+in tests/test_jpeg_aug.py. The PIL codec path (:func:`jpeg_augment_host`)
+remains under BISCUIT_JPEG_HOST=1; note it also forces the input pipeline
+off the native batched decoder (pipeline.py gates on jpeg_aug).
 
 Deliberate ordering deviation (SURVEY.md §2.2 convention; VERDICT r2
 weak-5): the train step standardizes (stain-normalize +
@@ -39,6 +44,7 @@ on-chip op in the policy:
 from __future__ import annotations
 
 import io
+import os
 from functools import partial
 
 import jax
@@ -49,6 +55,12 @@ BLUR_PROB = 0.1
 BLUR_SIGMAS = (0.5, 1.0, 1.5, 2.0)
 JPEG_PROB = 0.5
 JPEG_QUALITY_RANGE = (50, 100)
+
+
+def jpeg_on_host() -> bool:
+    """True when the 'j' augmentation should run host-side (PIL codec)
+    instead of the default on-chip DCT path (BISCUIT_JPEG_HOST=1)."""
+    return os.environ.get("BISCUIT_JPEG_HOST", "0") == "1"
 
 
 def _rot90_batch_switch(imgs: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
@@ -227,3 +239,160 @@ def jpeg_augment_host(png_or_array, rng: np.random.Generator):
     img.save(buf, format="JPEG", quality=quality)
     buf.seek(0)
     return np.asarray(Image.open(buf).convert("RGB"))
+
+
+# -----------------------------------------------------------------------------
+# On-chip JPEG re-compression (the default 'j' path)
+# -----------------------------------------------------------------------------
+# The host codec path above costs a PIL encode+decode per tile AND forces the
+# pipeline off the native C++ decoder (pipeline.py gates native batched decode
+# on jpeg_aug being false). TPU-first redesign: JPEG's lossy core — RGB→YCbCr,
+# 4:2:0 chroma subsampling, 8x8 block DCT, quantization at the IJG
+# quality-scaled Annex-K tables, dequantize, IDCT — is pure linear algebra.
+# The 2-D 8x8 DCT collapses into ONE (blocks,64)x(64,64) matmul per direction
+# (kron(D8,D8) on row-major-flattened blocks), which is exactly MXU-shaped;
+# everything else is elementwise. Entropy coding is lossless and therefore
+# irrelevant to augmentation.
+#
+# Deviations from libjpeg (all sub-LSB-scale, bounded by the parity test
+# against PIL in tests/test_jpeg_aug.py):
+# * float DCT vs libjpeg's integer 'islow' approximation (|err| <= 1 LSB);
+# * round-half-to-even quantization vs libjpeg's round-half-away descale;
+# * 2x2-mean chroma downsample without libjpeg's alternating +1/+2 bias;
+#   upsample uses the same 3/4-1/4 triangular filter as libjpeg's fancy
+#   h2v2 upsampler.
+
+_JPEG_LUMA_BASE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], np.float32)  # ITU T.81 Annex K.1
+
+_JPEG_CHROMA_BASE = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], np.float32)  # ITU T.81 Annex K.2
+
+
+def _dct8_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II rows; D @ block @ D.T gives exactly the
+    F(u,v) of T.81 §A.3.3 (so the Annex-K tables apply unscaled)."""
+    n = np.arange(8)
+    m = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return (0.5 * m).astype(np.float32)
+
+
+def _jpeg_plane(plane: jnp.ndarray, tbl: jnp.ndarray) -> jnp.ndarray:
+    """Quantize one (N,H,W) sample plane through 8x8 DCT blocks.
+
+    tbl is (N, 64): the per-image quality-scaled quantization table.
+    H and W must be multiples of 8. The two 2-D DCTs run as (blocks,64) @
+    (64,64) matmuls (kron of the 1-D basis with itself) at
+    Precision.HIGHEST — quality-99 DC coefficients reach ~1e3 where bf16
+    MXU passes would lose whole sample levels.
+    """
+    d8 = _dct8_matrix()
+    k64 = jnp.asarray(np.kron(d8, d8))
+    n, h, w = plane.shape
+    hi = jax.lax.Precision.HIGHEST
+    b = (plane - 128.0).reshape(n, h // 8, 8, w // 8, 8)
+    b = b.transpose(0, 1, 3, 2, 4).reshape(n, -1, 64)
+    coef = jnp.matmul(b, k64.T, precision=hi)
+    deq = jnp.round(coef / tbl[:, None, :]) * tbl[:, None, :]
+    out = jnp.matmul(deq, k64, precision=hi)
+    out = out.reshape(n, h // 8, w // 8, 8, 8).transpose(0, 1, 3, 2, 4)
+    return jnp.clip(jnp.round(out.reshape(n, h, w) + 128.0), 0.0, 255.0)
+
+
+def _fancy_upsample2(c: jnp.ndarray) -> jnp.ndarray:
+    """2x triangular (3/4, 1/4) upsample in H then W — libjpeg's fancy
+    h2v2 upsampler (net 2-D weights 9/3/3/1 over the 4 nearest chroma)."""
+
+    def up_rows(x):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        pairs = jnp.stack(
+            [0.25 * xp[:, :-2] + 0.75 * xp[:, 1:-1],
+             0.75 * xp[:, 1:-1] + 0.25 * xp[:, 2:]], axis=2)
+        return pairs.reshape(x.shape[0], 2 * x.shape[1], x.shape[2])
+
+    c = up_rows(c)
+    return up_rows(c.transpose(0, 2, 1)).transpose(0, 2, 1)
+
+
+@partial(jax.jit, static_argnames=("prob", "quality_range", "subsample"))
+def jpeg_augment_batch(
+    imgs: jnp.ndarray,
+    key: jax.Array,
+    prob: float = JPEG_PROB,
+    quality_range: tuple = JPEG_QUALITY_RANGE,
+    subsample: bool = True,
+) -> jnp.ndarray:
+    """Random JPEG re-compression of a uint8-valued batch, on-chip.
+
+    Same sampling contract as jpeg_augment_host: each image is re-compressed
+    with probability ``prob`` at quality U[quality_range) (integer). Input is
+    (N,H,W,3) uint8 or float holding 0-255 values; output has the input's
+    dtype with re-compressed rows rounded to integer sample values.
+    """
+    f = imgs.astype(jnp.float32)
+    n, h, w, _ = f.shape
+    ka, kq = jax.random.split(key)
+    apply = jax.random.bernoulli(ka, prob, (n,))
+    q = jax.random.randint(kq, (n,), quality_range[0], quality_range[1])
+    qf = q.astype(jnp.float32)
+    scale = jnp.where(q < 50, 5000.0 / qf, 200.0 - 2.0 * qf)[:, None]
+    luma = jnp.asarray(_JPEG_LUMA_BASE.reshape(64))
+    chroma = jnp.asarray(_JPEG_CHROMA_BASE.reshape(64))
+    tbl_y = jnp.clip(jnp.floor((luma * scale + 50.0) / 100.0), 1.0, 255.0)
+    tbl_c = jnp.clip(jnp.floor((chroma * scale + 50.0) / 100.0), 1.0, 255.0)
+
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = jnp.clip(jnp.round(0.299 * r + 0.587 * g + 0.114 * b), 0.0, 255.0)
+    cb = jnp.clip(
+        jnp.round(128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b),
+        0.0, 255.0)
+    cr = jnp.clip(
+        jnp.round(128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b),
+        0.0, 255.0)
+
+    mcu = 16 if subsample else 8
+    ph, pw = -h % mcu, -w % mcu
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, ph), (0, pw)), mode="edge")
+
+    yq = _jpeg_plane(pad(y), tbl_y)[:, :h, :w]
+    if subsample:
+
+        def chroma_plane(c):
+            cp = pad(c)
+            cd = jnp.round(
+                cp.reshape(n, (h + ph) // 2, 2, (w + pw) // 2, 2).mean((2, 4))
+            )
+            return _fancy_upsample2(_jpeg_plane(cd, tbl_c))[:, :h, :w]
+
+        cbq, crq = chroma_plane(cb), chroma_plane(cr)
+    else:
+        cbq = _jpeg_plane(pad(cb), tbl_c)[:, :h, :w]
+        crq = _jpeg_plane(pad(cr), tbl_c)[:, :h, :w]
+
+    cbc, crc = cbq - 128.0, crq - 128.0
+    out = jnp.stack(
+        [yq + 1.402 * crc,
+         yq - 0.344136286 * cbc - 0.714136286 * crc,
+         yq + 1.772 * cbc], axis=-1)
+    out = jnp.clip(jnp.round(out), 0.0, 255.0)
+    out = jnp.where(apply[:, None, None, None], out, f)
+    return out.astype(imgs.dtype)

@@ -90,7 +90,7 @@ def preprocess(images_u8, normalizer):
 
 
 def make_train_step(model, tx, hp: ModelParams, normalizer):
-    from ..data.augment import augment_batch
+    from ..data.augment import augment_batch, jpeg_augment_batch, jpeg_on_host
     from .fused_train import (
         fused_train_applicable,
         trunk_train_apply,
@@ -98,12 +98,20 @@ def make_train_step(model, tx, hp: ModelParams, normalizer):
     )
 
     fused = use_fused_train() and fused_train_applicable(model)
+    # 'j' of 'xyrjb' defaults to the on-chip DCT path (augment.py) applied
+    # to the raw uint8 batch BEFORE normalization — the same point in the
+    # math as slideflow's host codec — which keeps the native C++ decoder
+    # in play (pipeline.py disables it under host jpeg_aug).
+    chip_jpeg = bool(hp.augment) and "j" in hp.augment and not jpeg_on_host()
 
     def train_step(params, batch_stats, opt_state, images, labels, mask, key):
-        aug_key, drop_key = jax.random.split(key)
+        aug_key, drop_key, jpeg_key = jax.random.split(key, 3)
 
         def loss_fn(p):
-            x = preprocess(images, normalizer)
+            raw = images
+            if chip_jpeg:
+                raw = jpeg_augment_batch(raw, jpeg_key)
+            x = preprocess(raw, normalizer)
             if hp.augment:
                 x = augment_batch(x, aug_key, augment=hp.augment)
             if fused:
@@ -215,14 +223,16 @@ def _cached_train_step(hp: ModelParams, mesh, model, tx, normalizer):
     r_shard = replicated(mesh)
     from .fused_train import use_fused_train
 
+    from ..data.augment import jpeg_on_host
+
     key = ("train", _model_fingerprint(hp), hp.augment, hp.loss,
            hp.optimizer, float(hp.learning_rate),
            int(hp.learning_rate_decay_steps), float(hp.learning_rate_decay),
            _mesh_fingerprint(mesh),
-           # make_train_step bakes the fused-trunk toggle into the
-           # compiled program; key on it like _cached_infer_step keys on
-           # its kernel env toggles.
-           use_fused_train())
+           # make_train_step bakes the fused-trunk and chip-jpeg toggles
+           # into the compiled program; key on them like _cached_infer_step
+           # keys on its kernel env toggles.
+           use_fused_train(), jpeg_on_host())
     return _cached_fn(key, lambda: jax.jit(
         make_train_step(model, tx, hp, normalizer),
         in_shardings=(r_shard, r_shard, r_shard, b_shard, b_shard, b_shard,
@@ -649,9 +659,15 @@ def _train_single(
     train_tfr = [by_slide[s] for s in train_slides if s in by_slide]
     val_tfr = [by_slide[s] for s in val_slides if s in by_slide]
 
+    from ..data.augment import jpeg_on_host
+
     train_batcher = TileBatcher(
         train_tfr, labels, batch_size=local_bs, shuffle=True,
-        infinite=True, seed=seed, jpeg_aug=("j" in (hp.augment or "")),
+        infinite=True, seed=seed,
+        # 'j' runs on-chip by default (make_train_step); the host codec
+        # path (which also forces the pipeline off the native decoder) is
+        # only engaged under BISCUIT_JPEG_HOST=1.
+        jpeg_aug=("j" in (hp.augment or "") and jpeg_on_host()),
         max_tiles=max_tiles, tile_px=hp.tile_px,
         shard=shard_i, num_shards=n_shards,
     )
