@@ -351,12 +351,15 @@ def jpeg_augment_batch(
     ka, kq = jax.random.split(key)
     apply = jax.random.bernoulli(ka, prob, (n,))
     q = jax.random.randint(kq, (n,), quality_range[0], quality_range[1])
-    qf = q.astype(jnp.float32)
-    scale = jnp.where(q < 50, 5000.0 / qf, 200.0 - 2.0 * qf)[:, None]
-    luma = jnp.asarray(_JPEG_LUMA_BASE.reshape(64))
-    chroma = jnp.asarray(_JPEG_CHROMA_BASE.reshape(64))
-    tbl_y = jnp.clip(jnp.floor((luma * scale + 50.0) / 100.0), 1.0, 255.0)
-    tbl_c = jnp.clip(jnp.floor((chroma * scale + 50.0) / 100.0), 1.0, 255.0)
+    # IJG jpeg_quality_scaling + table scaling in int32: both divisions are
+    # exact-integer math, which must NOT run through float division on TPU
+    # (reciprocal-multiply can floor 600/100 to 5 — CLAUDE.md numerics rule);
+    # IJG itself uses integer division for the q<50 branch.
+    scale = jnp.where(q < 50, 5000 // q, 200 - 2 * q)[:, None]
+    luma = jnp.asarray(_JPEG_LUMA_BASE.reshape(64).astype(np.int32))
+    chroma = jnp.asarray(_JPEG_CHROMA_BASE.reshape(64).astype(np.int32))
+    tbl_y = jnp.clip((luma * scale + 50) // 100, 1, 255).astype(jnp.float32)
+    tbl_c = jnp.clip((chroma * scale + 50) // 100, 1, 255).astype(jnp.float32)
 
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
     y = jnp.clip(jnp.round(0.299 * r + 0.587 * g + 0.114 * b), 0.0, 255.0)

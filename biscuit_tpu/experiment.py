@@ -24,6 +24,7 @@ fold-by-fold, and results() degrades gracefully on missing artifacts
 
 from __future__ import annotations
 
+import os
 import shutil
 from os.path import exists, join
 from statistics import mean
@@ -217,7 +218,7 @@ class Experiment:
         )
 
     def train_nested_cv(self, hp, label, outer_k=3, inner_k=5,
-                        scheduler=None, **kwargs):
+                        scheduler=None, claim=None, collect=None, **kwargs):
         """Nested cross-validation: for each outer fold's training slides,
         run an inner k-fold (experiment.py:1053-1090); idempotent.
 
@@ -226,7 +227,13 @@ class Experiment:
         — step 4 is the largest training volume of the published protocol
         (outer_k x inner_k models per size; ADVICE r2) and inner folds
         share no artifacts beyond the lock-guarded splits JSON, the same
-        concurrency contract as the step 1-3 per-fold dispatch."""
+        concurrency contract as the step 1-3 per-fold dispatch.
+
+        ``claim`` (optional callable) filters tasks to the ones this host
+        owns under distributed fold scheduling; with ``collect`` (a list),
+        tasks are appended to it instead of run, so run() can dispatch
+        step 4 across all sizes with ONE fleet-wide boundary exchange
+        rather than a barrier per experiment."""
         k_models = utils.find_cv(
             self.train_project, label, k=outer_k, outcome=self.outcome
         )
@@ -264,6 +271,9 @@ class Experiment:
                 )
             else:
                 for k in inner_to_run:
+                    if claim is not None and not claim(
+                            f"{label}-k{ki + 1}_k{k}"):
+                        continue  # a peer host owns this inner fold
                     tasks.append(
                         lambda mesh, hp=hp.copy(), ki=ki, k=k,
                         ts=train_slides, kw=dict(kwargs):
@@ -273,7 +283,9 @@ class Experiment:
                             val_k=[k], save_model=False, mesh=mesh, **kw,
                         )
                     )
-        if scheduler is not None and tasks:
+        if collect is not None:
+            collect.extend(tasks)
+        elif scheduler is not None and tasks:
             for r in scheduler.run(tasks):
                 if isinstance(r, Exception):
                     raise r
@@ -290,16 +302,40 @@ class Experiment:
         5 FULL models (val none, early-stop step budget); 6 external eval.
         """
         print(bold("Initializing experiments..."))
+        import jax
+
+        from .parallel import distributed as dist
+
         P = self.train_project
+        # Distributed fold scheduling (multi-host experiment-level
+        # parallelism): under a multi-process runtime, asking for
+        # n_submeshes means "N submeshes over THIS host's local devices,
+        # with (experiment, fold) tasks distributed across ALL hosts" —
+        # each host atomically claims tasks from the coordination-service
+        # work queue (distributed.try_claim) and trains them independently
+        # on the shared artifact tree; step boundaries are status-exchanged
+        # barriers so a failure anywhere aborts everywhere. Without
+        # n_submeshes, multi-process keeps the lockstep-DCN default (every
+        # fold trained collectively over the global mesh).
+        multiproc = jax.process_count() > 1
+        distribute = multiproc and "n_submeshes" in self.train_kwargs
+        # Step barriers must outlive the LONGEST peer's step, not a gRPC
+        # default: real ladder steps run for hours.
+        barrier_ms = int(os.environ.get(
+            "BISCUIT_STEP_BARRIER_MS", 48 * 3600 * 1000))
         exp_annotations = join(P.root, "experiments.csv")
-        if P.annotations != exp_annotations:
+        if not distribute or dist.is_main():
             if not exists(exp_annotations):
                 shutil.copy(P.annotations, exp_annotations)
-            P.annotations = exp_annotations
-        existing_cols = pd.read_csv(exp_annotations, nrows=0).columns.tolist()
-        for exp in exp_to_run:
-            if f"include_{exp}" not in existing_cols:
-                self.add(exp_annotations, label=exp, **exp_to_run[exp])
+            existing_cols = pd.read_csv(
+                exp_annotations, nrows=0).columns.tolist()
+            for exp in exp_to_run:
+                if f"include_{exp}" not in existing_cols:
+                    self.add(exp_annotations, label=exp, **exp_to_run[exp])
+        if distribute:
+            # Peers wait for main's annotation writes before reading them.
+            dist.barrier("exp_annotations", barrier_ms)
+        P.annotations = exp_annotations
 
         full_epoch_exp = [e for e in exp_to_run if e in FULL_EPOCH_EXPS]
         exp_hp = (
@@ -332,20 +368,52 @@ class Experiment:
         # reference's sequential order.
         n_submeshes = self.train_kwargs.get("n_submeshes", 1) or 1
         scheduler = None
-        if n_submeshes > 1:
+        claim_ns = None
+        if distribute:
+            import uuid
+
+            from .parallel.scheduler import SubmeshScheduler
+
+            scheduler = SubmeshScheduler(
+                n_submeshes=n_submeshes, devices=jax.local_devices())
+            # Claim tokens are namespaced per run() invocation: the
+            # coordination-service counters live for the whole process
+            # group, and a stale claim from a crashed earlier invocation
+            # must not mask a fold that still needs training (completed
+            # folds are already skipped by _fold_complete).
+            claim_ns = dist.broadcast_from_main(
+                "exp_run_nonce",
+                uuid.uuid4().hex[:12] if dist.is_main() else None,
+                timeout_ms=barrier_ms)
+        elif n_submeshes > 1:
             from .parallel.scheduler import SubmeshScheduler
 
             scheduler = SubmeshScheduler(n_submeshes=n_submeshes)
 
+        def _claim(token):
+            """True when this host owns the task (always, single-host)."""
+            return claim_ns is None or dist.try_claim(f"{claim_ns}_{token}")
+
         def _dispatch(step_num, tasks):
             """Run scheduler tasks; re-raise the first failure (matching
-            sequential semantics, where the first error aborts the step)."""
-            if not tasks:
-                return
-            results = scheduler.run(tasks)
-            for r in results:
-                if isinstance(r, Exception):
-                    raise r
+            sequential semantics, where the first error aborts the step).
+            Distributed scheduling: every host synchronizes at the step
+            boundary and learns whether ANY peer failed, so later steps
+            never read a half-written step and an abort is fleet-wide."""
+            err = None
+            if tasks:
+                for r in scheduler.run(tasks):
+                    if isinstance(r, Exception):
+                        err = err or r
+            if distribute:
+                all_ok = dist.exchange_ok(
+                    f"{claim_ns}_step{step_num}", err is None, barrier_ms)
+                if err is None and not all_ok:
+                    raise RuntimeError(
+                        f"a peer host failed step {step_num} "
+                        "(distributed fold scheduling)")
+            if err is not None:
+                raise err
 
         def _cv_step(step_num, exps, uq):
             tasks = []
@@ -370,6 +438,8 @@ class Experiment:
                     self.train(hp=exp_hp, val_k=val_k, **kwargs)
                 else:
                     for k in val_k:
+                        if not _claim(f"{label}_k{k}"):
+                            continue  # a peer host owns this fold
                         tasks.append(
                             lambda mesh, hp=exp_hp.copy(), k=k, kw=kwargs:
                             self.train(hp=hp, val_k=[k], mesh=mesh, **kw)
@@ -399,6 +469,7 @@ class Experiment:
             print(bold("[Step 4] Running nested UQ experiments..."))
             exp_hp.epochs = [1]
             exp_hp.uq = True
+            step4_tasks = [] if distribute else None
             for exp in exp_to_run:
                 total = exp_to_run[exp]["out1"] + exp_to_run[exp]["out2"]
                 if total >= 50:
@@ -408,9 +479,13 @@ class Experiment:
                         val_strategy="k-fold",
                         splits=f"splits_{exp}_nested.json",
                         scheduler=scheduler,
+                        claim=_claim if distribute else None,
+                        collect=step4_tasks,
                     )
                 else:
                     print(f"[Step 4] Skipping UQ for {exp}, need >=50 slides")
+            if distribute:
+                _dispatch(4, step4_tasks)
 
         if 5 in steps:
             print(bold("[Step 5] Training across full datasets..."))
@@ -439,6 +514,8 @@ class Experiment:
                 if scheduler is None:
                     self.train(hp=exp_hp, **kwargs)
                 else:
+                    if not _claim(f"EXP_{exp}_FULL"):
+                        continue  # a peer host owns this FULL model
                     full_tasks.append(
                         lambda mesh, hp=exp_hp.copy(), kw=kwargs:
                         self.train(hp=hp, mesh=mesh, **kw)
@@ -446,29 +523,54 @@ class Experiment:
             _dispatch(5, full_tasks)
 
         if 6 in steps:
+            # Distributed fold scheduling: evals are claimed per
+            # (eval project, experiment) and run host-locally
+            # (collective=False turns off evaluate_project's
+            # lockstep-multiprocess gating); one fleet-wide boundary
+            # exchange closes the step.
+            step6_err = None
             for val_P in self.eval_projects:
                 print(bold(f"[Step 6] Running eval ({val_P.name})..."))
                 for exp in exp_to_run:
-                    full_model = utils.find_model(
-                        P, f"EXP_{exp}_FULL", outcome=self.outcome, epoch=1
-                    )
-                    if utils.eval_exists(
-                        val_P, f"EXP_{exp}_FULL", outcome=self.outcome,
-                        epoch=1,
-                    ):
-                        print(f"Skipping eval for experiment {exp}; "
-                              "already done.")
-                        continue
-                    val_P.evaluate(
-                        full_model,
-                        self.outcome,
-                        filters={
-                            self.outcome: [self.outcome1, self.outcome2]
-                        },
-                        save_predictions=True,
-                        **{k: v for k, v in self.train_kwargs.items()
-                           if k in ("max_tiles", "mesh")},
-                    )
+                    if distribute and not _claim(f"eval_{val_P.name}_{exp}"):
+                        continue  # a peer host owns this eval
+                    try:
+                        full_model = utils.find_model(
+                            P, f"EXP_{exp}_FULL", outcome=self.outcome,
+                            epoch=1,
+                        )
+                        if utils.eval_exists(
+                            val_P, f"EXP_{exp}_FULL", outcome=self.outcome,
+                            epoch=1,
+                        ):
+                            print(f"Skipping eval for experiment {exp}; "
+                                  "already done.")
+                            continue
+                        val_P.evaluate(
+                            full_model,
+                            self.outcome,
+                            filters={
+                                self.outcome: [self.outcome1, self.outcome2]
+                            },
+                            save_predictions=True,
+                            **({"collective": False} if distribute else {}),
+                            **{k: v for k, v in self.train_kwargs.items()
+                               if k in ("max_tiles", "mesh")},
+                        )
+                    except Exception as e:
+                        if not distribute:
+                            raise
+                        step6_err = step6_err or e
+                        log.error(f"[Step 6] eval {exp} failed: {e}")
+            if distribute:
+                all_ok = dist.exchange_ok(
+                    f"{claim_ns}_step6", step6_err is None, barrier_ms)
+                if step6_err is not None:
+                    raise step6_err
+                if not all_ok:
+                    raise RuntimeError(
+                        "a peer host failed step 6 "
+                        "(distributed fold scheduling)")
 
     # ------------------------------------------------------------------
     # Nested-CV threshold derivation

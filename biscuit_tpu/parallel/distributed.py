@@ -60,6 +60,16 @@ def is_main() -> bool:
     return jax.process_index() == 0
 
 
+def mesh_spans_processes(mesh) -> bool:
+    """True when the mesh places devices on more than one process — the
+    condition for lockstep DCN training. A host-local mesh under a
+    multi-process runtime (the per-host independent-training mode that
+    parallel/scheduler.py points users to) is a single-host program: its
+    training must NOT shard the data stream by process_index or funnel
+    artifact writes to process 0."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 _BARRIER_SEQ = [0]
 
 
@@ -101,6 +111,50 @@ def broadcast_from_main(name: str, value: Optional[str],
         client.key_value_set(key, value)
         return value
     return client.blocking_key_value_get(key, timeout_ms)
+
+
+def try_claim(name: str) -> bool:
+    """Atomically claim a work token across the process group; True on the
+    single process whose claim landed first (trivially true
+    single-process). Built on the coordination-service's atomic
+    fetch-and-increment, so no two processes can both win a token.
+
+    This is the cross-host work-queue primitive behind distributed fold
+    scheduling (experiment.py run() under a multi-process runtime): each
+    host claims (experiment, fold) tasks and trains them on its own
+    devices. Names must be deterministic across processes; re-claiming a
+    name within one coordination-service lifetime always loses, so callers
+    namespace names with a per-run nonce (see Experiment.run)."""
+    if jax.process_count() == 1:
+        return True
+    from jax._src import distributed as _dist
+
+    return _dist.global_state.client.key_value_increment(
+        f"biscuit_claim_{name}", 1) == 1
+
+
+def exchange_ok(name: str, ok: bool, timeout_ms: int = 600_000) -> bool:
+    """All-processes status exchange: every process reports ``ok``, blocks
+    until all have reported, and receives the conjunction. Single-process:
+    returns ok unchanged.
+
+    Used at step boundaries of distributed fold scheduling so one host's
+    training failure aborts the protocol consistently on EVERY host
+    (instead of the healthy hosts hanging at the next barrier until
+    timeout while the failed one has already raised)."""
+    if jax.process_count() == 1:
+        return ok
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    _KV_SEQ[0] += 1
+    base = f"biscuit_ok_{name}_{_KV_SEQ[0]}"
+    client.key_value_set(f"{base}_{jax.process_index()}", "1" if ok else "0")
+    barrier(f"ok_{name}", timeout_ms)
+    return all(
+        client.blocking_key_value_get(f"{base}_{p}", timeout_ms) == "1"
+        for p in range(jax.process_count())
+    )
 
 
 def global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:

@@ -45,15 +45,40 @@ def evaluate_project(
     save_predictions=True,
     max_tiles: Optional[int] = None,
     mesh=None,
+    collective: bool = True,
 ):
     """Evaluate a saved model over this project's dataset.
 
     Args:
         project: evaluation Project (annotations + tfrecords).
         model_path: path to a saved `..._epoch{E}` model dir.
+        collective: under a multi-process runtime, True (default) means
+            every process is calling this in lockstep — main runs the
+            inference and publishes the metrics over the KV store. Pass
+            False when only THIS process is running the eval (distributed
+            fold scheduling in Experiment.run claims evals per host): it
+            then runs fully locally with no cross-process exchange.
     Returns:
         dict of level -> (auc, ap) metrics; writes the eval dir.
     """
+    import jax
+
+    from ..parallel import distributed as dist
+
+    # Multi-process runtime: evaluation does not shard across hosts (the
+    # predictions frame is assembled host-side), so main runs it over its
+    # local devices and publishes the metrics; the other processes block
+    # on the exchange instead of racing eval-dir allocation / CSV writes
+    # on the shared filesystem. One hour covers external evals of the
+    # full CPTAC corpus with wide margin.
+    multiproc = jax.process_count() > 1 and collective
+    if multiproc and not dist.is_main():
+        results = json.loads(dist.broadcast_from_main(
+            "eval_results", None, timeout_ms=3_600_000))
+        # JSON turns the (auc, ap) tuples into lists; restore the contract.
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in results.items()}
+
     model, params, batch_stats, hp, meta = load_checkpoint(model_path)
     label = meta["label"]
     epoch_name = basename(model_path.rstrip("/"))
@@ -115,9 +140,13 @@ def evaluate_project(
         ]
     ).to_csv(join(out_dir, "results_log.csv"), index=False)
 
-    return {
+    results = {
         "eval_dir": out_dir,
         "tile": (t_auc, t_ap),
         "slide": (s_auc, s_ap),
         "patient": (p_auc, p_ap),
     }
+    if multiproc:
+        dist.broadcast_from_main(
+            "eval_results", json.dumps(results), timeout_ms=3_600_000)
+    return results

@@ -302,8 +302,21 @@ def predict_tiles(
     the reference column contract: slide, loc_x, loc_y, {K columns}."""
     normalizer = make_normalizer(hp.normalizer)
     batch_size = batch_size or hp.batch_size
+    from ..parallel import distributed as dist
+
+    multiproc = jax.process_count() > 1
     if mesh is None:
-        mesh = data_parallel_mesh()
+        # Under a multi-process runtime, inference runs over THIS host's
+        # devices: the predictions frame is assembled host-side, so a
+        # process-spanning mesh has no way to return non-addressable rows.
+        mesh = data_parallel_mesh(
+            jax.local_devices() if multiproc else None)
+    elif dist.mesh_spans_processes(mesh):
+        raise ValueError(
+            "predict_tiles cannot run over a process-spanning mesh (its "
+            "predictions are assembled host-side); pass a host-local mesh "
+            "or run it on the main process only (evaluate_project does "
+            "this automatically)")
     infer = _cached_infer_step(hp, mesh, model, normalizer)
 
     batcher = PrefetchBatcher(
@@ -320,7 +333,6 @@ def predict_tiles(
     # non-replicated in_shardings even on a fully-addressable (local)
     # mesh — place the batch explicitly. Single-process keeps the
     # auto-placement fast path.
-    multiproc = jax.process_count() > 1
     for batch in batcher:
         key, sub = jax.random.split(key)
         images = batch["image"]
@@ -593,9 +605,14 @@ def _train_single(
     # across OS processes in tests/test_distributed.py.
     from ..parallel import distributed as dist
 
-    shard_i, n_shards = dist.process_shard()
-    multihost = n_shards > 1
-    main = dist.is_main()
+    # Lockstep DCN mode is keyed on the MESH spanning processes, not on
+    # jax.process_count(): under a multi-process runtime a host-local mesh
+    # (independent per-host trainings, the mode scheduler.py's submesh
+    # guard recommends) is an ordinary single-host program — every process
+    # writes its own artifacts and feeds its whole batch.
+    multihost = dist.mesh_spans_processes(mesh)
+    shard_i, n_shards = dist.process_shard() if multihost else (0, 1)
+    main = dist.is_main() if multihost else True
     if multihost:
         if hp.batch_size % n_shards:
             raise ValueError(
@@ -609,10 +626,18 @@ def _train_single(
 
     def _feed(b):
         """Host batch -> train/val step feed. Single-process: host arrays
-        (jit auto-places them); multi-host: global sharded jax.Arrays."""
+        (jit auto-places them); multi-host: global sharded jax.Arrays;
+        host-local mesh under a multi-process runtime: explicit placement
+        (jit refuses host numpy for non-replicated in_shardings there,
+        even on a fully-addressable mesh — same rule as predict_tiles)."""
         fb = {"image": b["image"], "label": b["label"],
               "mask": np.asarray(b["mask"], np.float32)}
-        return dist.global_batch(fb, mesh) if multihost else fb
+        if multihost:
+            return dist.global_batch(fb, mesh)
+        if jax.process_count() > 1:
+            sh = batch_sharding(mesh)
+            return {k: jax.device_put(v, sh) for k, v in fb.items()}
+        return fb
 
     # --- model dir -------------------------------------------------------------
     # Re-launch semantics: an existing dir for this (outcome, label, kfold)
@@ -645,8 +670,12 @@ def _train_single(
             os.makedirs(model_dir, exist_ok=True)
     # Main allocates the run dir on the shared filesystem; the other
     # processes receive its name (they never scan/create, so run-number
-    # allocation cannot race across hosts).
-    model_dir = dist.broadcast_from_main("model_dir", model_dir)
+    # allocation cannot race across hosts). Guarded on multihost, NOT on
+    # the helper's internal process_count check: under a host-local mesh
+    # with multiple processes every process allocated its own dir above
+    # and a KV exchange here would cross independent trainings.
+    if multihost:
+        model_dir = dist.broadcast_from_main("model_dir", model_dir)
     if main:
         pd.DataFrame(
             [{"slide": s, "dataset": "training"} for s in train_slides]
@@ -699,7 +728,19 @@ def _train_single(
         # context init only waits ~30 s for its peers — executing straight
         # out of compile flakes with DEADLINE_EXCEEDED (measured in
         # tests/test_distributed.py). The jit call in the loop then reloads
-        # the program from the persistent compile cache in seconds.
+        # the program from the persistent compile cache in seconds — which
+        # only holds if a persistent cache is actually configured, so pin
+        # one here when the deployment hasn't (same default as the test
+        # drivers); without it the first in-loop call would recompile cold
+        # and reintroduce exactly the skew this block exists to prevent.
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("BISCUIT_JAX_CACHE",
+                               os.path.expanduser("~/.cache/biscuit_jax")))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+
         def _sds(shape, dtype, sharding):
             return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
 

@@ -24,7 +24,12 @@ import sys
 
 def _e2e(outfile, project_root):
     """Full train_project over the global mesh (every process runs this;
-    main writes the artifact tree)."""
+    main writes the artifact tree), then the external-eval path
+    (evaluate_project gates inference to main and publishes the metrics
+    over the coordination-service KV store)."""
+    from glob import glob
+    from os.path import join
+
     import jax
 
     from biscuit_tpu.hp import ModelParams
@@ -39,10 +44,142 @@ def _e2e(outfile, project_root):
         uq_samples=4)
     dirs = P.train(
         "cohort", exp_label="DCN_E2E", params=hp, val_strategy="k-fold",
-        val_k=[1], val_k_fold=2, validate_on_batch=8, validation_steps=2)
+        val_k=[1], val_k_fold=2, validate_on_batch=8, validation_steps=2,
+        save_model=True)
+    epoch_dirs = sorted(glob(join(dirs[0], "*_epoch1")))
+    assert epoch_dirs, f"no saved epoch dir in {dirs[0]}"
+    eval_res = P.evaluate(epoch_dirs[0], "cohort")
     with open(outfile, "w") as f:
-        json.dump({"pid": jax.process_index(), "model_dirs": dirs}, f)
+        json.dump({"pid": jax.process_index(), "model_dirs": dirs,
+                   "eval": eval_res}, f)
     print(f"proc {jax.process_index()}: E2E OK", flush=True)
+
+
+def _local_mesh_mode(outfile, project_root):
+    """Host-local meshes under a multi-process runtime: each process
+    trains an INDEPENDENT experiment over its own devices (the mode
+    parallel/scheduler.py's multi-process guard points users to). Must
+    behave as an ordinary single-host training per process — no lockstep
+    sharding, no artifact funneling to process 0, no KV exchanges."""
+    import jax
+
+    from biscuit_tpu.hp import ModelParams
+    from biscuit_tpu.parallel.mesh import data_parallel_mesh
+    from biscuit_tpu.project import Project
+
+    pid = jax.process_index()
+    P = Project(project_root)
+    hp = ModelParams(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=8,
+        epochs=[1], early_stop=False, dropout=0.1, hidden_layer_width=32,
+        hidden_layers=1, learning_rate=3e-3, normalizer=None, augment="xy",
+        uq=False)
+    mesh = data_parallel_mesh(jax.local_devices())
+    dirs = P.train(
+        "cohort", exp_label=f"LOCAL_P{pid}", params=hp,
+        val_strategy="k-fold", val_k=[1], val_k_fold=2, mesh=mesh)
+    with open(outfile, "w") as f:
+        json.dump({"pid": pid, "model_dirs": dirs}, f)
+    print(f"proc {pid}: LOCAL OK", flush=True)
+
+
+def _distributed_ladder(outfile, project_root):
+    """Distributed fold scheduling (experiment.py run() under a
+    multi-process runtime): train_kwargs={'n_submeshes': 1} makes each
+    process claim (experiment, fold) tasks from the coordination-service
+    work queue and train them over its OWN devices on the shared artifact
+    tree; steps close with fleet-wide status exchanges. Runs steps 2, 3,
+    5 and 6 of the protocol on one ladder size."""
+    from os.path import join
+
+    import jax
+
+    from biscuit_tpu.experiment import Experiment
+    from biscuit_tpu.hp import ModelParams
+    from biscuit_tpu.project import Project
+
+    pid = jax.process_index()
+    P = Project(project_root)
+    hp = ModelParams(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=8,
+        epochs=[1], early_stop=False, dropout=0.1, hidden_layer_width=32,
+        hidden_layers=1, learning_rate=3e-3, normalizer=None, augment="xy",
+        uq=False, uq_samples=4)
+    exp = Experiment(
+        P, eval_projects=[P], outcome="cohort", outcome1="LUAD",
+        outcome2="LUSC", outdir=join(project_root, "ladder_results"))
+    exp.train_kwargs = {
+        "seed": 0, "n_submeshes": 1, "validate_on_batch": 8,
+        "validation_steps": 2,
+    }
+    # Record which tasks THIS process actually trained/evaluated — the
+    # test asserts the claim queue really distributed work across hosts
+    # and nothing ran twice.
+    trained, evals = [], []
+    orig_train = exp.train
+
+    def _tracking_train(**kw):
+        trained.append([kw["label"], list(kw.get("val_k") or [])])
+        return orig_train(**kw)
+
+    exp.train = _tracking_train
+    orig_eval = P.evaluate
+
+    def _tracking_eval(model, outcome, **kw):
+        evals.append(model)
+        return orig_eval(model, outcome, **kw)
+
+    P.evaluate = _tracking_eval
+
+    exp.run({"ZC": {"out1": 6, "out2": 6}}, steps=[2, 3, 5, 6], hp=hp)
+    with open(outfile, "w") as f:
+        json.dump({"pid": pid, "trained": trained, "evals": len(evals)}, f)
+    print(f"proc {pid}: LADDER OK", flush=True)
+
+
+def _distributed_ladder_failure(outfile, project_root):
+    """Fleet-wide abort semantics: whichever host claims fold 2 raises an
+    injected error; the step-boundary status exchange must surface a
+    failure on EVERY host (the peer raises 'a peer host failed step 2'
+    instead of hanging at the next barrier)."""
+    from os.path import join
+
+    import jax
+
+    from biscuit_tpu.experiment import Experiment
+    from biscuit_tpu.hp import ModelParams
+    from biscuit_tpu.project import Project
+
+    pid = jax.process_index()
+    P = Project(project_root)
+    hp = ModelParams(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=8,
+        epochs=[1], early_stop=False, dropout=0.1, hidden_layer_width=32,
+        hidden_layers=1, learning_rate=3e-3, normalizer=None, augment="xy",
+        uq=False)
+    exp = Experiment(
+        P, outcome="cohort", outcome1="LUAD", outcome2="LUSC",
+        outdir=join(project_root, "ladder_results"))
+    exp.train_kwargs = {
+        "seed": 0, "n_submeshes": 1, "validate_on_batch": 8,
+        "validation_steps": 2,
+    }
+    orig_train = exp.train
+
+    def _flaky_train(**kw):
+        if kw.get("val_k") == [2]:
+            raise RuntimeError("injected fold-2 failure")
+        return orig_train(**kw)
+
+    exp.train = _flaky_train
+    try:
+        exp.run({"ZC": {"out1": 6, "out2": 6}}, steps=[2], hp=hp)
+        err = None
+    except Exception as e:
+        err = str(e)
+    with open(outfile, "w") as f:
+        json.dump({"pid": pid, "error": err}, f)
+    print(f"proc {pid}: LADDERFAIL OK", flush=True)
 
 
 def main():
@@ -72,6 +209,15 @@ def main():
 
     if len(sys.argv) > 6 and sys.argv[6] == "e2e":
         _e2e(outfile, sys.argv[7])
+        return
+    if len(sys.argv) > 6 and sys.argv[6] == "local":
+        _local_mesh_mode(outfile, sys.argv[7])
+        return
+    if len(sys.argv) > 6 and sys.argv[6] == "ladder":
+        _distributed_ladder(outfile, sys.argv[7])
+        return
+    if len(sys.argv) > 6 and sys.argv[6] == "ladderfail":
+        _distributed_ladder_failure(outfile, sys.argv[7])
         return
 
     import numpy as np

@@ -42,12 +42,21 @@ def _spawn(pid, nproc, coord, devs, outfile, extra=()):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
 
-def _run_group(nproc, devs, tmp_path, tag, extra=()):
+def _run_group(nproc, devs, tmp_path, tag, extra=(), timeout=900):
     coord = f"127.0.0.1:{_free_port()}"
     outs = [str(tmp_path / f"{tag}_{i}.json") for i in range(nproc)]
     procs = [_spawn(i, nproc, coord, devs, outs[i], extra)
              for i in range(nproc)]
-    logs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        logs = [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        # A timeout on an earlier proc must not orphan the later ones
+        # (a leaked training process would poison every subsequent test
+        # on this 1-core box).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for p, lg in zip(procs, logs):
         assert p.returncode == 0, f"driver failed:\n{lg[-3000:]}"
     return [json.load(open(o)) for o in outs]
@@ -168,3 +177,79 @@ def test_two_process_train_project_end_to_end(tmp_path):
     # the second process from creating its own.
     dirs = [d for d in os.listdir(P.models_dir) if "DCN_E2E" in d]
     assert len(dirs) == 1, dirs
+
+    # External eval under multi-process: main ran the inference and
+    # published the metrics over the KV store — both processes hold
+    # identical results, and exactly one eval dir was allocated.
+    assert r[0]["eval"] == r[1]["eval"], (r[0]["eval"], r[1]["eval"])
+    assert 0.0 <= r[0]["eval"]["tile"][0] <= 1.0
+    eval_dirs = os.listdir(P.eval_dir)
+    assert len(eval_dirs) == 1, eval_dirs
+
+
+def test_multiprocess_host_local_meshes_are_independent(tmp_path):
+    """Under a multi-process runtime, trainings over HOST-LOCAL meshes run
+    as ordinary single-host programs (the per-host independent-training
+    mode the submesh guard recommends): every process writes its own
+    model dir with the full artifact tree — no lockstep sharding, no
+    funneling of writes to process 0, no cross-training KV exchanges."""
+    P = _make_project(tmp_path)
+    r = _run_group(2, 2, tmp_path, "local", extra=("local", P.root))
+    d0, d1 = r[0]["model_dirs"][0], r[1]["model_dirs"][0]
+    assert d0 != d1
+    for d, pid in ((d0, 0), (d1, 1)):
+        assert f"LOCAL_P{pid}" in d
+        for fname in ("results_log.csv", "tile_predictions_val_epoch1.csv"):
+            assert os.path.exists(os.path.join(d, fname)), (d, fname)
+
+
+def test_distributed_fold_scheduling_across_hosts(tmp_path):
+    """Experiment.run with train_kwargs={'n_submeshes': 1} under a
+    2-process runtime: (experiment, fold) tasks are claimed atomically
+    from the coordination-service work queue and trained host-locally on
+    the shared tree — every fold trained exactly once fleet-wide, BOTH
+    hosts did real work, and the full artifact set exists (steps 2, 3, 5
+    CV/UQ/FULL models + the step-6 external eval)."""
+    from biscuit_tpu import utils
+
+    P = _make_project(tmp_path)
+    r = _run_group(2, 2, tmp_path, "ladder", extra=("ladder", P.root),
+                   timeout=1800)
+
+    # Fleet-wide union: each (label, fold) task trained exactly once.
+    tasks = [tuple([t[0], tuple(t[1])]) for t in r[0]["trained"]
+             ] + [tuple([t[0], tuple(t[1])]) for t in r[1]["trained"]]
+    assert len(tasks) == len(set(tasks)), tasks
+    assert set(tasks) == {
+        ("EXP_ZC", (1,)), ("EXP_ZC", (2,)), ("EXP_ZC", (3,)),
+        ("EXP_ZC_UQ", (1,)), ("EXP_ZC_UQ", (2,)), ("EXP_ZC_UQ", (3,)),
+        ("EXP_ZC_FULL", ()),
+    }, sorted(tasks)
+
+    # The work queue actually distributed: both hosts claimed something.
+    assert r[0]["trained"] and r[1]["trained"]
+    # The eval ran on exactly one host.
+    assert r[0]["evals"] + r[1]["evals"] == 1
+
+    # Shared-tree artifacts: 3 CV + 3 UQ folds + 1 FULL model, each dir
+    # complete; exactly one eval dir.
+    for label, kfold in [("EXP_ZC", 1), ("EXP_ZC", 2), ("EXP_ZC", 3),
+                         ("EXP_ZC_UQ", 1), ("EXP_ZC_UQ", 2),
+                         ("EXP_ZC_UQ", 3), ("EXP_ZC_FULL", None)]:
+        d = utils.find_model(P, label, outcome="cohort", kfold=kfold)
+        assert os.path.exists(os.path.join(d, "results_log.csv")), d
+    assert len(os.listdir(P.eval_dir)) == 1
+
+
+def test_distributed_fold_failure_aborts_every_host(tmp_path):
+    """Fleet-wide abort: the host that claims the injected-failure fold
+    raises the real error; the OTHER host learns about it at the
+    step-boundary status exchange and raises too (no hang at the next
+    barrier, no silent half-finished protocol)."""
+    P = _make_project(tmp_path)
+    r = _run_group(2, 2, tmp_path, "lfail", extra=("ladderfail", P.root),
+                   timeout=1200)
+    errs = [r[0]["error"], r[1]["error"]]
+    assert all(e is not None for e in errs), errs
+    assert any("injected fold-2 failure" in e for e in errs), errs
+    assert any("peer host failed step 2" in e for e in errs), errs
