@@ -618,10 +618,6 @@ def _train_single(
             raise ValueError(
                 f"batch_size {hp.batch_size} must divide evenly across "
                 f"{n_shards} processes")
-        if checkpoint_every:
-            log.warning("in-run Orbax checkpointing is not supported under "
-                        "multi-host training; disabling")
-            checkpoint_every = None
     local_bs = hp.batch_size // n_shards
 
     def _feed(b):
@@ -792,9 +788,18 @@ def _train_single(
     # checkpoint and fast-forward past completed steps.
     from .checkpoint import RunCheckpointer
 
-    ckpt = RunCheckpointer(model_dir, every=checkpoint_every)
+    ckpt = RunCheckpointer(model_dir, every=checkpoint_every,
+                           multihost=multihost, is_main=main)
+    restore_step = None
+    if multihost and checkpoint_every:
+        # Main scans the checkpoint dir; every process restores the SAME
+        # step (broadcast over the KV store) so the lockstep fleet resumes
+        # bitwise-aligned — see checkpoint.py's multihost notes.
+        tok = dist.broadcast_from_main(
+            "ckpt_latest", str(ckpt.latest()) if main else None)
+        restore_step = None if tok == "None" else int(tok)
     params, batch_stats, opt_state, restored_step = ckpt.maybe_restore(
-        params, batch_stats, opt_state
+        params, batch_stats, opt_state, step=restore_step
     )
 
     # Background prefetch: host decode of the next batches overlaps with

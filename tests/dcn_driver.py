@@ -137,6 +137,58 @@ def _distributed_ladder(outfile, project_root):
     print(f"proc {pid}: LADDER OK", flush=True)
 
 
+def _ckpt_crash_resume(outfile, project_root, crash_after):
+    """In-run Orbax checkpointing under LOCKSTEP multi-host training
+    (SURVEY §5.4): train over the global mesh with checkpoint_every=2;
+    with ``crash_after`` > 0, every process dies after that many train
+    steps (simulated host crash). The relaunch (crash_after=0) must
+    restore the SAME broadcast checkpoint step on every process,
+    fast-forward, and finish the fold with the full artifact tree."""
+    import jax
+
+    import biscuit_tpu.train.trainer as trainer_mod
+    from biscuit_tpu.hp import ModelParams
+    from biscuit_tpu.project import Project
+
+    crash_after = int(crash_after)
+    if crash_after:
+        real = trainer_mod._cached_train_step
+        calls = [0]
+
+        def crashy(*a, **k):
+            fn = real(*a, **k)
+
+            def wrapped(*args):
+                calls[0] += 1
+                if calls[0] > crash_after:
+                    # Die hard mid-run (simulated host loss, not a clean
+                    # exit) — in-flight async checkpoints may be lost;
+                    # the relaunch takes the latest COMPLETE one.
+                    print(f"proc {jax.process_index()}: CRASHING after "
+                          f"{crash_after} steps", flush=True)
+                    os._exit(17)
+                return fn(*args)
+
+            wrapped.lower = fn.lower  # trainer AOT-compiles via .lower()
+            return wrapped
+
+        trainer_mod._cached_train_step = crashy
+
+    P = Project(project_root)
+    hp = ModelParams(
+        model="xception_tiny", tile_px=32, tile_um=32, batch_size=8,
+        epochs=[1], early_stop=False, dropout=0.1, hidden_layer_width=32,
+        hidden_layers=1, learning_rate=3e-3, normalizer=None, augment="xy",
+        uq=False)
+    dirs = P.train(
+        "cohort", exp_label="CKPT_E2E", params=hp, val_strategy="k-fold",
+        val_k=[1], val_k_fold=2, validate_on_batch=8, validation_steps=2,
+        checkpoint_every=2)
+    with open(outfile, "w") as f:
+        json.dump({"pid": jax.process_index(), "model_dirs": dirs}, f)
+    print(f"proc {jax.process_index()}: CKPT OK", flush=True)
+
+
 def _distributed_ladder_failure(outfile, project_root):
     """Fleet-wide abort semantics: whichever host claims fold 2 raises an
     injected error; the step-boundary status exchange must surface a
@@ -189,6 +241,9 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devs}")
+    # Tests assert on info-level trainer lines (e.g. the broadcast
+    # checkpoint-resume step); must be set before utils_log imports.
+    os.environ.setdefault("BISCUIT_LOGLEVEL", "INFO")
 
     import jax
 
@@ -218,6 +273,9 @@ def main():
         return
     if len(sys.argv) > 6 and sys.argv[6] == "ladderfail":
         _distributed_ladder_failure(outfile, sys.argv[7])
+        return
+    if len(sys.argv) > 6 and sys.argv[6] == "ckpt":
+        _ckpt_crash_resume(outfile, sys.argv[7], sys.argv[8])
         return
 
     import numpy as np
