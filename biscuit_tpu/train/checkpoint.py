@@ -141,11 +141,20 @@ class RunCheckpointer:
             int(step),
         )
 
-    def save(self, step: int, params, batch_stats, opt_state) -> None:
-        if self._mngr is None or not self.every or step % self.every:
+    def save(self, step: int, params, batch_stats, opt_state,
+             force: bool = False) -> None:
+        """Save at checkpoint cadence; ``force=True`` saves regardless of
+        cadence (preemption path). Forcing a step that is already saved
+        (or mid-save) is a no-op."""
+        if self._mngr is None or not self.every:
+            return
+        if not force and step % self.every:
             return
         if self.multihost and not self.is_main:
             return
+        if force and (step % self.every == 0 or step in
+                      self._mngr.all_steps()):
+            return  # the cadence save already covers this step
         import orbax.checkpoint as ocp
 
         tree = {"params": params, "batch_stats": batch_stats,
@@ -156,6 +165,12 @@ class RunCheckpointer:
             # across steps safely.
             tree = _to_host(tree)
         self._mngr.save(step, args=ocp.args.StandardSave(tree))
+
+    def wait(self) -> None:
+        """Block until in-flight async saves are committed (preemption
+        path: the process is about to exit)."""
+        if self._mngr is not None:
+            self._mngr.wait_until_finished()
 
     def close(self) -> None:
         if self._mngr is not None:

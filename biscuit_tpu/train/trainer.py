@@ -808,164 +808,208 @@ def _train_single(
     train_iter = iter(train_stream)
     t_last = _time.perf_counter()
 
-    for epoch in range(1, max_epoch + 1):
-        for _ in range(steps_per_epoch):
-            step += 1
-            key, sub = jax.random.split(key)
-            if step <= restored_step:
-                # Fast-forward without consuming (or decoding) batches: the
-                # RNG stream stays aligned; the resumed run re-draws from
-                # the reshuffled tile stream rather than replaying the
-                # original order — a deliberate trade (skipping thousands
-                # of decodes) that only changes which i.i.d. shuffle the
-                # remaining steps see.
-                continue
-            fb = _feed(next(train_iter))
-            params, batch_stats, opt_state, metrics = train_step(
-                params, batch_stats, opt_state, fb["image"],
-                fb["label"], fb["mask"], sub,
-            )
-            ckpt.save(step, params, batch_stats, opt_state)
-            if step % 10 == 0 or step == 1:
-                now = _time.perf_counter()
-                step_log.append(
-                    {
-                        "step": step,
-                        "epoch": epoch,
-                        "loss": float(metrics["loss"]),
-                        "acc": float(metrics["acc"]),
-                        "lr": float(lr_schedule(hp)(step)),
-                        "tiles_per_s": hp.batch_size
-                        * (10 if step > 1 else 1) / (now - t_last),
-                    }
-                )
-                t_last = now
+    # Preemption-safe training (SURVEY.md §5.3; TPU VMs receive SIGTERM
+    # with a grace window on maintenance events / spot reclaim): trap
+    # SIGTERM, force a checkpoint at the next step boundary, and exit via
+    # the default handler — the relaunch resumes losing at most one step.
+    # Only armed when in-run checkpointing is on and we own the main
+    # thread (submesh-scheduler trainings run in worker threads, where
+    # signal.signal is illegal); BISCUIT_PREEMPT_SAVE=0 disables.
+    import signal as _signal
+    import threading as _threading
 
-            if (
-                val_batcher is not None
-                and hp.early_stop_method == "accuracy"
-                and step % validate_on_batch == 0
-                and early_stop_batch is None
-            ):
-                correct = total = 0.0
-                for _ in range(max(1, validation_steps)):
-                    vb = _feed(next(val_iter))
-                    c, t = val_metrics_step(
-                        params, batch_stats, vb["image"], vb["label"],
-                        vb["mask"],
+    _preempt = [False]
+    _prev_sigterm = None
+    _trap = bool(
+        checkpoint_every
+        and os.environ.get("BISCUIT_PREEMPT_SAVE", "1") != "0"
+        and _threading.current_thread() is _threading.main_thread())
+    if _trap:
+        def _on_sigterm(signum, frame):
+            _preempt[0] = True
+            log.warning("SIGTERM received: checkpointing at the next step "
+                        "boundary, then exiting")
+        _prev_sigterm = _signal.signal(_signal.SIGTERM, _on_sigterm)
+    try:
+        for epoch in range(1, max_epoch + 1):
+            for _ in range(steps_per_epoch):
+                step += 1
+                key, sub = jax.random.split(key)
+                if step <= restored_step:
+                    # Fast-forward without consuming (or decoding) batches: the
+                    # RNG stream stays aligned; the resumed run re-draws from
+                    # the reshuffled tile stream rather than replaying the
+                    # original order — a deliberate trade (skipping thousands
+                    # of decodes) that only changes which i.i.d. shuffle the
+                    # remaining steps see.
+                    continue
+                fb = _feed(next(train_iter))
+                params, batch_stats, opt_state, metrics = train_step(
+                    params, batch_stats, opt_state, fb["image"],
+                    fb["label"], fb["mask"], sub,
+                )
+                ckpt.save(step, params, batch_stats, opt_state)
+                if _preempt[0]:
+                    # Commit a checkpoint at THIS step, then die via the
+                    # restored default handler. Multihost: every process
+                    # traps the scheduler's fleet-wide SIGTERM and parks at
+                    # a gRPC barrier while main's save commits (exiting
+                    # earlier would let the coordination service kill main
+                    # mid-write; the write itself is atomic either way).
+                    ckpt.save(step, params, batch_stats, opt_state,
+                              force=True)
+                    ckpt.wait()
+                    if multihost:
+                        dist.barrier("preempt_ckpt")
+                    log.warning(
+                        f"preemption checkpoint committed at step {step}; "
+                        "re-raising SIGTERM")
+                    _signal.signal(_signal.SIGTERM, _prev_sigterm)
+                    _trap = False
+                    os.kill(os.getpid(), _signal.SIGTERM)
+                if step % 10 == 0 or step == 1:
+                    now = _time.perf_counter()
+                    step_log.append(
+                        {
+                            "step": step,
+                            "epoch": epoch,
+                            "loss": float(metrics["loss"]),
+                            "acc": float(metrics["acc"]),
+                            "lr": float(lr_schedule(hp)(step)),
+                            "tiles_per_s": hp.batch_size
+                            * (10 if step > 1 else 1) / (now - t_last),
+                        }
                     )
-                    # Replicated scalars: identical on every process, so
-                    # the early-stop branch below cannot desynchronize a
-                    # multi-host fleet.
-                    correct += float(c)
-                    total += float(t)
-                val_acc = correct / max(total, 1)
-                if es_ema is None:
-                    es_window.append(val_acc)
-                    if len(es_window) >= hp.ema_observations:
-                        es_ema = float(np.mean(es_window))
-                else:
-                    last_ema = es_ema
-                    es_ema = val_acc * es_alpha + es_ema * (1 - es_alpha)
-                    epochs_elapsed = step / steps_per_epoch
-                    if (es_ema < last_ema
-                            and epochs_elapsed > hp.early_stop_patience):
-                        early_stop_batch = step
-                        stopped = True
-                        log.info(
-                            f"Early stop at batch {step} (val acc EMA "
-                            f"{es_ema:.4f} < {last_ema:.4f})"
-                        )
-                        break
+                    t_last = now
 
-        # --- end of epoch: save predictions/results if requested --------------
-        # Skip epochs fully covered by a restored checkpoint: their
-        # predictions were written by the original run and recomputing them
-        # with later-step params would corrupt the per-epoch record.
-        epoch_already_done = (
-            step <= restored_step and not stopped
-        )
-        if multihost and (epoch in hp.epochs or stopped):
-            # Predictions/results are written once, by main, over its own
-            # LOCAL devices (a global-mesh inference would need every
-            # process to feed + read back non-addressable outputs for a
-            # host-side CSV only main writes). The others wait at a
-            # coordination-service barrier — NOT at their next collective,
-            # whose transport timeout is far shorter than a prediction
-            # sweep.
-            if main:
-                local_mesh = data_parallel_mesh(jax.local_devices())
-                params_h = jax.device_get(params)
-                batch_stats_h = jax.device_get(batch_stats)
-        if (epoch in hp.epochs or stopped) and not epoch_already_done \
-                and main:
-            # On an early stop mid-epoch, record under the next declared
-            # epoch so the on-disk filename contract (readers expect
-            # tile_predictions_val_epoch{E} for E in hp.epochs) holds.
-            later = [e for e in hp.epochs if e >= epoch]
-            record_epoch = (
-                epoch if epoch in hp.epochs
-                else (min(later) if later else max(hp.epochs))
+                if (
+                    val_batcher is not None
+                    and hp.early_stop_method == "accuracy"
+                    and step % validate_on_batch == 0
+                    and early_stop_batch is None
+                ):
+                    correct = total = 0.0
+                    for _ in range(max(1, validation_steps)):
+                        vb = _feed(next(val_iter))
+                        c, t = val_metrics_step(
+                            params, batch_stats, vb["image"], vb["label"],
+                            vb["mask"],
+                        )
+                        # Replicated scalars: identical on every process, so
+                        # the early-stop branch below cannot desynchronize a
+                        # multi-host fleet.
+                        correct += float(c)
+                        total += float(t)
+                    val_acc = correct / max(total, 1)
+                    if es_ema is None:
+                        es_window.append(val_acc)
+                        if len(es_window) >= hp.ema_observations:
+                            es_ema = float(np.mean(es_window))
+                    else:
+                        last_ema = es_ema
+                        es_ema = val_acc * es_alpha + es_ema * (1 - es_alpha)
+                        epochs_elapsed = step / steps_per_epoch
+                        if (es_ema < last_ema
+                                and epochs_elapsed > hp.early_stop_patience):
+                            early_stop_batch = step
+                            stopped = True
+                            log.info(
+                                f"Early stop at batch {step} (val acc EMA "
+                                f"{es_ema:.4f} < {last_ema:.4f})"
+                            )
+                            break
+
+            # --- end of epoch: save predictions/results if requested --------------
+            # Skip epochs fully covered by a restored checkpoint: their
+            # predictions were written by the original run and recomputing them
+            # with later-step params would corrupt the per-epoch record.
+            epoch_already_done = (
+                step <= restored_step and not stopped
             )
-            epoch = record_epoch
-            row = {"model_name": f"{outcome}-{exp_label}-HP0_epoch{epoch}"}
-            if val_tfr:
-                df, probs, unc = predict_tiles(
-                    params_h if multihost else params,
-                    batch_stats_h if multihost else batch_stats,
-                    model, hp, val_tfr, labels,
-                    mesh=local_mesh if multihost else mesh,
-                    max_tiles=max_tiles,
+            if multihost and (epoch in hp.epochs or stopped):
+                # Predictions/results are written once, by main, over its own
+                # LOCAL devices (a global-mesh inference would need every
+                # process to feed + read back non-addressable outputs for a
+                # host-side CSV only main writes). The others wait at a
+                # coordination-service barrier — NOT at their next collective,
+                # whose transport timeout is far shorter than a prediction
+                # sweep.
+                if main:
+                    local_mesh = data_parallel_mesh(jax.local_devices())
+                    params_h = jax.device_get(params)
+                    batch_stats_h = jax.device_get(batch_stats)
+            if (epoch in hp.epochs or stopped) and not epoch_already_done \
+                    and main:
+                # On an early stop mid-epoch, record under the next declared
+                # epoch so the on-disk filename contract (readers expect
+                # tile_predictions_val_epoch{E} for E in hp.epochs) holds.
+                later = [e for e in hp.epochs if e >= epoch]
+                record_epoch = (
+                    epoch if epoch in hp.epochs
+                    else (min(later) if later else max(hp.epochs))
                 )
-                tile_df = tile_predictions_frame(outcome, df, probs, unc)
-                _write_predictions(
-                    tile_df,
-                    join(model_dir, f"tile_predictions_val_epoch{epoch}"),
-                    save_predictions,
-                )
-                pt_df = group_predictions_frame(df, probs, patients, "patient")
-                _write_predictions(
-                    pt_df,
-                    join(model_dir,
-                         f"patient_predictions_{outcome}_val_epoch{epoch}"),
-                    save_predictions,
-                )
-                sl_df = group_predictions_frame(df, probs, patients, "slide")
-                _write_predictions(
-                    sl_df,
-                    join(model_dir,
-                         f"slide_predictions_{outcome}_val_epoch{epoch}"),
-                    save_predictions,
-                )
-                t_auc, t_ap = _level_metrics(df["y_true"], probs[:, 1])
-                s_auc, s_ap = _level_metrics(
-                    sl_df["y_true1"], sl_df["percent_tiles_positive1"]
-                )
-                p_auc, p_ap = _level_metrics(
-                    pt_df["y_true1"], pt_df["percent_tiles_positive1"]
-                )
-                row.update(
-                    {
-                        "patient_auc": json.dumps({outcome: [p_auc]}),
-                        "patient_ap": json.dumps({outcome: [p_ap]}),
-                        "slide_auc": json.dumps({outcome: [s_auc]}),
-                        "slide_ap": json.dumps({outcome: [s_ap]}),
-                        "tile_auc": json.dumps({outcome: [t_auc]}),
-                        "tile_ap": json.dumps({outcome: [t_ap]}),
-                    }
-                )
-            if early_stop_batch is not None:
-                row["early_stop_batch"] = early_stop_batch
-            results_rows.append(row)
-            if save_model:
-                save_checkpoint(
-                    model_dir, params, batch_stats, hp, epoch, outcome,
-                    exp_label, kfold,
-                )
-        if multihost and (epoch in hp.epochs or stopped):
-            dist.barrier("epoch_artifacts")
-        if stopped:
-            break  # early stop halts the remaining epochs
+                epoch = record_epoch
+                row = {"model_name": f"{outcome}-{exp_label}-HP0_epoch{epoch}"}
+                if val_tfr:
+                    df, probs, unc = predict_tiles(
+                        params_h if multihost else params,
+                        batch_stats_h if multihost else batch_stats,
+                        model, hp, val_tfr, labels,
+                        mesh=local_mesh if multihost else mesh,
+                        max_tiles=max_tiles,
+                    )
+                    tile_df = tile_predictions_frame(outcome, df, probs, unc)
+                    _write_predictions(
+                        tile_df,
+                        join(model_dir, f"tile_predictions_val_epoch{epoch}"),
+                        save_predictions,
+                    )
+                    pt_df = group_predictions_frame(df, probs, patients, "patient")
+                    _write_predictions(
+                        pt_df,
+                        join(model_dir,
+                             f"patient_predictions_{outcome}_val_epoch{epoch}"),
+                        save_predictions,
+                    )
+                    sl_df = group_predictions_frame(df, probs, patients, "slide")
+                    _write_predictions(
+                        sl_df,
+                        join(model_dir,
+                             f"slide_predictions_{outcome}_val_epoch{epoch}"),
+                        save_predictions,
+                    )
+                    t_auc, t_ap = _level_metrics(df["y_true"], probs[:, 1])
+                    s_auc, s_ap = _level_metrics(
+                        sl_df["y_true1"], sl_df["percent_tiles_positive1"]
+                    )
+                    p_auc, p_ap = _level_metrics(
+                        pt_df["y_true1"], pt_df["percent_tiles_positive1"]
+                    )
+                    row.update(
+                        {
+                            "patient_auc": json.dumps({outcome: [p_auc]}),
+                            "patient_ap": json.dumps({outcome: [p_ap]}),
+                            "slide_auc": json.dumps({outcome: [s_auc]}),
+                            "slide_ap": json.dumps({outcome: [s_ap]}),
+                            "tile_auc": json.dumps({outcome: [t_auc]}),
+                            "tile_ap": json.dumps({outcome: [t_ap]}),
+                        }
+                    )
+                if early_stop_batch is not None:
+                    row["early_stop_batch"] = early_stop_batch
+                results_rows.append(row)
+                if save_model:
+                    save_checkpoint(
+                        model_dir, params, batch_stats, hp, epoch, outcome,
+                        exp_label, kfold,
+                    )
+            if multihost and (epoch in hp.epochs or stopped):
+                dist.barrier("epoch_artifacts")
+            if stopped:
+                break  # early stop halts the remaining epochs
+    finally:
+        if _trap:
+            _signal.signal(_signal.SIGTERM, _prev_sigterm)
 
     train_stream.close()
     if val_batcher is not None:

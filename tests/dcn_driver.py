@@ -137,13 +137,18 @@ def _distributed_ladder(outfile, project_root):
     print(f"proc {pid}: LADDER OK", flush=True)
 
 
-def _ckpt_crash_resume(outfile, project_root, crash_after):
-    """In-run Orbax checkpointing under LOCKSTEP multi-host training
-    (SURVEY §5.4): train over the global mesh with checkpoint_every=2;
-    with ``crash_after`` > 0, every process dies after that many train
-    steps (simulated host crash). The relaunch (crash_after=0) must
-    restore the SAME broadcast checkpoint step on every process,
-    fast-forward, and finish the fold with the full artifact tree."""
+def _ckpt_crash_resume(outfile, project_root, crash_after, kill="exit"):
+    """In-run Orbax checkpointing (SURVEY §5.4): train with periodic
+    checkpoints; with ``crash_after`` > 0 the process dies after that many
+    train steps. ``kill='exit'`` simulates a hard host loss (os._exit,
+    checkpoint_every=2); ``kill='term'`` simulates a preemption notice
+    (self-SIGTERM, checkpoint_every=4 so the forced save lands OFF the
+    cadence) — the trainer must trap it, commit a checkpoint at the
+    current step, and exit via the default handler. The relaunch
+    (crash_after=0) must restore and finish the fold with the full
+    artifact tree."""
+    import signal
+
     import jax
 
     import biscuit_tpu.train.trainer as trainer_mod
@@ -151,6 +156,7 @@ def _ckpt_crash_resume(outfile, project_root, crash_after):
     from biscuit_tpu.project import Project
 
     crash_after = int(crash_after)
+    every = 2 if kill == "exit" else 4
     if crash_after:
         real = trainer_mod._cached_train_step
         calls = [0]
@@ -158,14 +164,35 @@ def _ckpt_crash_resume(outfile, project_root, crash_after):
         def crashy(*a, **k):
             fn = real(*a, **k)
 
+            def committed_ckpt():
+                # Any COMMITTED Orbax step dir under the shared tree (tmp
+                # suffixes are stripped atomically on commit).
+                import glob
+                return any(
+                    os.path.basename(p).isdigit() for p in
+                    glob.glob(os.path.join(project_root, "models", "*",
+                                           "ckpt", "*")))
+
             def wrapped(*args):
                 calls[0] += 1
-                if calls[0] > crash_after:
+                if kill == "term" and calls[0] == crash_after + 1:
+                    # Preemption notice: deliver SIGTERM to self; the
+                    # trainer's handler must checkpoint THIS step and
+                    # re-raise. Training continues until that boundary.
+                    print(f"proc {jax.process_index()}: SELF-SIGTERM "
+                          f"after {crash_after} steps", flush=True)
+                    os.kill(os.getpid(), signal.SIGTERM)
+                elif kill == "exit" and calls[0] > crash_after and (
+                        committed_ckpt() or calls[0] >= 11):
                     # Die hard mid-run (simulated host loss, not a clean
-                    # exit) — in-flight async checkpoints may be lost;
-                    # the relaunch takes the latest COMPLETE one.
+                    # exit) — async saves still in flight are lost; the
+                    # relaunch takes the latest COMPLETE one. On a loaded
+                    # box the async writer can lag, so wait for one commit
+                    # (bounded: the 12-step fold must not finish) — a
+                    # crash with zero committed checkpoints just tests
+                    # cold-start resume, which is not this scenario.
                     print(f"proc {jax.process_index()}: CRASHING after "
-                          f"{crash_after} steps", flush=True)
+                          f"{calls[0] - 1} steps", flush=True)
                     os._exit(17)
                 return fn(*args)
 
@@ -183,7 +210,7 @@ def _ckpt_crash_resume(outfile, project_root, crash_after):
     dirs = P.train(
         "cohort", exp_label="CKPT_E2E", params=hp, val_strategy="k-fold",
         val_k=[1], val_k_fold=2, validate_on_batch=8, validation_steps=2,
-        checkpoint_every=2)
+        checkpoint_every=every)
     with open(outfile, "w") as f:
         json.dump({"pid": jax.process_index(), "model_dirs": dirs}, f)
     print(f"proc {jax.process_index()}: CKPT OK", flush=True)
@@ -275,7 +302,8 @@ def main():
         _distributed_ladder_failure(outfile, sys.argv[7])
         return
     if len(sys.argv) > 6 and sys.argv[6] == "ckpt":
-        _ckpt_crash_resume(outfile, sys.argv[7], sys.argv[8])
+        kill = sys.argv[9] if len(sys.argv) > 9 else "exit"
+        _ckpt_crash_resume(outfile, sys.argv[7], sys.argv[8], kill)
         return
 
     import numpy as np

@@ -262,6 +262,36 @@ def test_distributed_fold_failure_aborts_every_host(tmp_path):
     assert any("peer host failed step 2" in e for e in errs), errs
 
 
+def test_preemption_sigterm_checkpoint_and_resume(tmp_path):
+    """Preemption-safe training (SURVEY §5.3): a SIGTERM (TPU maintenance
+    / spot reclaim notice) mid-fold makes the trainer commit a checkpoint
+    at the CURRENT step — off the checkpoint_every=4 cadence — and exit
+    via the default handler; the relaunch resumes from that exact step
+    and completes the fold."""
+    P = _make_project(tmp_path)
+    rcs, logs = _run_group(1, 2, tmp_path, "preempt",
+                           extra=("ckpt", P.root, "6", "term"),
+                           expect_rc=None)
+    assert rcs == [-15], (rcs, logs[0][-3000:])
+    assert "SIGTERM received: checkpointing at the next step" in logs[0]
+    assert "preemption checkpoint committed at step 7" in logs[0], \
+        logs[0][-3000:]
+    dirs = [d for d in os.listdir(P.models_dir) if "CKPT_E2E" in d]
+    assert len(dirs) == 1, dirs
+    ckpt_dir = os.path.join(P.models_dir, dirs[0], "ckpt")
+    assert "7" in os.listdir(ckpt_dir), os.listdir(ckpt_dir)
+
+    r, logs = _run_group(1, 2, tmp_path, "presume",
+                         extra=("ckpt", P.root, "0", "term"),
+                         return_logs=True)
+    assert "Resumed training from checkpoint step 7" in logs[0], \
+        logs[0][-2000:]
+    done = os.path.join(P.models_dir, dirs[0])
+    assert r[0]["model_dirs"][0] == done
+    for fname in ("results_log.csv", "tile_predictions_val_epoch1.csv"):
+        assert os.path.exists(os.path.join(done, fname)), fname
+
+
 def test_multihost_checkpoint_crash_resume(tmp_path):
     """In-run Orbax checkpointing under lockstep multi-host training
     (SURVEY §5.4): both processes are killed hard mid-fold
@@ -278,7 +308,7 @@ def test_multihost_checkpoint_crash_resume(tmp_path):
     # semantics — the race between the two is inherent).
     assert 17 in rcs, (rcs, [lg[-2000:] for lg in logs])
     assert all(rc != 0 for rc in rcs), rcs
-    assert any("CRASHING after 6 steps" in lg for lg in logs)
+    assert any("CRASHING after" in lg for lg in logs)
     # The crashed run left exactly one incomplete model dir (no
     # results_log.csv) with at least one complete checkpoint in it.
     dirs = [d for d in os.listdir(P.models_dir) if "CKPT_E2E" in d]
