@@ -7,16 +7,30 @@ everything else, which is dominated by MXU ops (pointwise convs, stem,
 residual 1x1s, exit sepconv pointwise, head). v5e peak is 197 bf16 TFLOP/s
 vs 394 int8 TOP/s, so a w8a8 quantized inference path could halve the MXU
 share *if* XLA actually emits native int8 MXU convolutions rather than
-upcasting. This probe measures that, per geometry, before any quantization
-machinery is built.
+upcasting. This probe measures that, per geometry, before committing the
+headline to the quantized trunk (ops/int8_trunk.py).
 
-Methodology (CLAUDE.md / memory: same-args-repeated timing lies over the
-tunnel): each measurement is ONE jit program containing a lax.fori_loop
-chain with a data dependence between iterations (a cheap scalar hash of the
-output perturbs the next input), so per-call dispatch overhead is paid once
-and the device cannot cache-skip iterations. bf16 and int8 variants use the
-identical harness, including the int8 path's requantize step (the cost a
-real quantized forward would pay between layers).
+Methodology — two timing traps, both hit and fixed here:
+
+1. Same-args-repeated dispatch (CLAUDE.md gotcha): never time the exact
+   call that warmed the program. We cycle N_BUFS distinct device-resident
+   buffers across ITERS pipelined dispatches and block once on the full
+   output list (the pattern validated by bench_fused_sepconv.py, whose
+   numbers sit sanely under peak).
+
+2. Slice-DCE through convolution: a chain whose only live output is a
+   *sliced* scalar (e.g. ``sum(y[0,0,0,:3])``) lets XLA propagate the
+   slice backwards — for a 1x1 conv, output pixel (0,0,0) depends only on
+   input pixel (0,0,0), so a 20-layer "data-dependent" chain collapses to
+   twenty 728x728 dots and reports 3-12 PFLOP/s (measured artifact, r3).
+   Every chained layer here returns its FULL-size array, like a real
+   network layer; nothing downstream slices it.
+
+Each measurement jits a DEPTH-layer chain (conv -> requantize back to the
+input dtype/shape, the cost a real quantized layer pays between MXU ops)
+and times ITERS dispatches over rotating inputs; per-layer ms and
+T(FL)OP/s are reported. Inputs are generated ON DEVICE (one PRNG program)
+— shipping hundreds of MB through the dev tunnel takes minutes.
 
 Run (one geometry per process — remote compiles are minutes and a hung
 compile should kill only one measurement):
@@ -37,211 +51,162 @@ from biscuit_tpu.ops.threshold_device import _enable_persistent_compile_cache
 
 _enable_persistent_compile_cache()
 
-ITERS = 20
-B = 256
+ITERS = 12
+N_BUFS = 4
+DEPTH = 6  # layers chained inside one jit program
 
-# (name, H, W, Cin, Cout, kernel, stride) — the model's MXU-heavy convs.
+# (name, B, H, W, Cin, Cout, kernel) — the model's MXU-heavy convs, at
+# batch sizes keeping each input buffer under ~200 MB (12 full-size
+# outputs stay live during the pipelined timing loop).
+# kernel: 1/3 = conv k x k; 0 = plain dot (Cin x Cin @ Cin x Cout);
+# -1 = MIXED (bf16 depthwise 3x3 -> pointwise in the probed dtype, the
+# pattern a w8a8 entry flow actually runs).
 GEOMS = [
-    ("middle_pw 19x19 728->728", 19, 19, 728, 728, 1, 1),
-    ("exit_pw   10x10 1536->2048", 10, 10, 1536, 2048, 1, 1),
-    ("entry_pw  75x75 128->128", 75, 75, 128, 128, 1, 1),
-    ("stem conv2 147x147 32->64 k3", 147, 147, 32, 64, 3, 1),
-    ("big dot 8192^3 (peak probe)", 0, 0, 8192, 8192, 0, 1),
-    # Composite (idx 5/6): the real mixed pattern a quantized entry flow
-    # would run — bf16 depthwise (VPU, dtype-independent) feeding a
-    # pointwise that is either bf16 (status quo) or int8 with the
-    # quantize/requantize converts a w8a8 layer pays. Measures whether
-    # int8's halved HBM bytes + doubled MXU beat the convert overhead at
-    # the HBM-heaviest geometries.
-    ("entry0 sep 147x147 64->128 MIXED", 147, 147, 64, 128, -1, 1),
-    ("entry1 sep 74x74 128->256 MIXED", 74, 74, 128, 256, -1, 1),
+    ("middle_pw 19x19 728->728", 256, 19, 19, 728, 728, 1),
+    ("exit_pw   10x10 1536->2048", 256, 10, 10, 1536, 2048, 1),
+    ("entry_pw  75x75 128->128", 128, 75, 75, 128, 128, 1),
+    ("stem conv2 147x147 32->64 k3", 128, 147, 147, 32, 64, 3),
+    ("big dot 8192^3 (peak probe)", 0, 0, 0, 8192, 8192, 0),
+    ("entry0 sep 147x147 64->128 MIXED", 64, 147, 147, 64, 128, -1),
+    ("entry1 sep 74x74 128->256 MIXED", 128, 74, 74, 128, 256, -1),
 ]
 
 
-def _chain_mixed(x, wd, wp, *, int8_pw, iters):
-    """dw3x3(bf16) -> [quant -> int8 pw -> dequant | bf16 pw] chain.
+def _conv(x, w, *, groups=1, acc):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=acc,
+    )
 
-    x is bf16 NHWC; wd is (3,3,C,1)-style depthwise bf16; wp is the
-    pointwise kernel in int8 or bf16. Output feeds the next iteration
-    (channel-sliced/tiled back to Cin) so iterations are data-dependent.
-    """
+
+def _back_to_cin(y, cin):
+    """Full-rank shape restore: slice (cout>=cin) or tile (cout<cin).
+    Keeps every output element live — no slice-DCE window."""
+    cout = y.shape[-1]
+    if cout >= cin:
+        return y[..., :cin]
+    return jnp.tile(y, (1,) * (y.ndim - 1) + (cin // cout,))
+
+
+def _layer_conv(x, w, *, dtype):
+    """One conv layer + the requantize a real quantized net pays, returning
+    a full-size array of the input's shape/dtype."""
     cin = x.shape[-1]
-
-    def body(i, carry):
-        x, bump = carry
-        h = jax.lax.conv_general_dilated(
-            x, wd, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=cin,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
-        if int8_pw:
-            q = jnp.clip(jnp.round(h.astype(jnp.float32) * 16.0),
-                         -127, 127).astype(jnp.int8)
-            y = jax.lax.conv_general_dilated(
-                q, wp, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
-            yf = y.astype(jnp.float32) * (1.0 / 16.0)
-        else:
-            yf = jax.lax.conv_general_dilated(
-                h, wp, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
-        bump = bump + jnp.sum(yf[0, 0, 0, :3])
-        nxt = (yf[:, :, :, :cin] * 0.01 + bump * 1e-12).astype(jnp.bfloat16)
-        return nxt, bump
-
-    x, bump = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
-    return bump
+    if dtype == jnp.int8:
+        y = _conv(x, w, acc=jnp.int32)
+        yf = y.astype(jnp.float32) * jnp.float32(1e-3)
+        nxt = jnp.clip(jnp.round(yf), -127, 127).astype(jnp.int8)
+    else:
+        y = _conv(x, w, acc=jnp.float32)
+        nxt = (y * 0.01).astype(x.dtype)
+    return _back_to_cin(nxt, cin)
 
 
-def measure_mixed(name, H, W, cin, cout):
-    rng = np.random.default_rng(0)
-    b = 256  # entry activations are huge; keep two live buffers in HBM
-    x = jnp.asarray(rng.standard_normal((b, H, W, cin)) * 0.1, jnp.bfloat16)
-    wd = jnp.asarray(rng.standard_normal((3, 3, 1, cin)) * 0.2, jnp.bfloat16)
-    # dw kernel layout for feature_group_count=cin: (3,3,1,cin) HWIO.
+def _layer_dot(x, w, *, dtype):
+    if dtype == jnp.int8:
+        y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        yf = y.astype(jnp.float32) * jnp.float32(1e-4)
+        return jnp.clip(jnp.round(yf), -127, 127).astype(jnp.int8)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return (y * 0.01).astype(x.dtype)
+
+
+def _layer_mixed(x, wd, wp, *, int8_pw):
+    """dw3x3(bf16, VPU) -> [quantize -> int8 pw -> dequant | bf16 pw],
+    the exact per-unit pattern of a w8a8 entry flow (int8_trunk.py)."""
+    cin = x.shape[-1]
+    h = _conv(x, wd, groups=cin, acc=jnp.float32).astype(jnp.bfloat16)
+    if int8_pw:
+        q = jnp.clip(jnp.round(h.astype(jnp.float32) * 16.0),
+                     -127, 127).astype(jnp.int8)
+        y = _conv(q, wp, acc=jnp.int32)
+        nxt = (y.astype(jnp.float32) * (1.0 / 16.0) * 0.01)
+        nxt = nxt.astype(jnp.bfloat16)
+    else:
+        nxt = (_conv(h, wp, acc=jnp.float32) * 0.01).astype(jnp.bfloat16)
+    return _back_to_cin(nxt, cin)
+
+
+def _chain(x, *ws, layer, depth):
+    return jax.lax.fori_loop(
+        0, depth, lambda i, h: layer(h, *ws), x)
+
+
+def _dev_inputs(shape, dtype, n):
+    """n distinct device-resident buffers from one on-device PRNG program."""
+    if dtype == jnp.int8:
+        make = jax.jit(lambda k: jax.random.randint(
+            k, (n,) + shape, -4, 4, jnp.int32).astype(jnp.int8))
+    else:
+        make = jax.jit(lambda k: (jax.random.normal(
+            k, (n,) + shape, jnp.float32) * 0.1).astype(dtype))
+    stacked = make(jax.random.PRNGKey(7))
+    jax.block_until_ready(stacked)
+    return [stacked[i] for i in range(n)]
+
+
+def _timeit(fn, xs, ws):
+    outs = [fn(x, *ws) for x in xs]  # compile + warm every buffer
+    jax.block_until_ready(outs)
+    del outs
+    t0 = time.perf_counter()
+    outs = [fn(xs[i % len(xs)], *ws) for i in range(ITERS)]
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return dt / (ITERS * DEPTH)  # seconds per layer
+
+
+def measure(name, b, H, W, cin, cout, k):
     rows = []
-    for int8_pw, label in ((False, "bf16"), (True, "int8")):
-        wp = (jnp.asarray(rng.integers(-3, 3, (1, 1, cin, cout)), jnp.int8)
-              if int8_pw else
-              jnp.asarray(rng.standard_normal((1, 1, cin, cout)) * 0.05,
-                          jnp.bfloat16))
-        fn = jax.jit(functools.partial(_chain_mixed, int8_pw=int8_pw,
-                                       iters=ITERS))
-        r = fn(x, wd, wp)
-        r.block_until_ready()
-        t0 = time.perf_counter()
-        r = fn(x, wd, wp)
-        r.block_until_ready()
-        dt = time.perf_counter() - t0
-        per_op_ms = dt / ITERS * 1e3
-        rows.append((label, per_op_ms))
-        print(f"  {name:34s} {label}: {per_op_ms:8.3f} ms/iter", flush=True)
-    print(f"  {name:34s} int8-pw speedup: {rows[0][1] / rows[1][1]:.2f}x",
+    if k == -1:  # mixed dw-bf16 / pw-{bf16,int8}
+        xs = _dev_inputs((b, H, W, cin), jnp.bfloat16, N_BUFS)
+        wd = _dev_inputs((3, 3, 1, cin), jnp.bfloat16, 1)[0]
+        flops = 2.0 * b * H * W * cin * (9 + cout)  # dw taps + pw
+        for int8_pw, label in ((False, "bf16"), (True, "int8")):
+            wp = _dev_inputs((1, 1, cin, cout),
+                             jnp.int8 if int8_pw else jnp.bfloat16, 1)[0]
+            fn = jax.jit(functools.partial(
+                _chain, layer=functools.partial(_layer_mixed,
+                                                int8_pw=int8_pw),
+                depth=DEPTH))
+            t = _timeit(fn, xs, (wd, wp))
+            rows.append((label, t))
+            print(f"  {name:34s} {label}: {t*1e3:8.3f} ms/layer  "
+                  f"{flops/t/1e12:7.1f} T{'OP' if int8_pw else 'FLOP'}/s",
+                  flush=True)
+    else:
+        for dtype, label in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
+            if k == 0:
+                xs = _dev_inputs((cin, cin), dtype, N_BUFS)
+                w = _dev_inputs((cin, cout), dtype, 1)[0]
+                layer = functools.partial(_layer_dot, dtype=dtype)
+                flops = 2.0 * cin * cin * cout
+            else:
+                xs = _dev_inputs((b, H, W, cin), dtype, N_BUFS)
+                w = _dev_inputs((k, k, cin, cout), dtype, 1)[0]
+                layer = functools.partial(_layer_conv, dtype=dtype)
+                flops = 2.0 * b * H * W * cin * cout * k * k
+            fn = jax.jit(functools.partial(_chain, layer=layer, depth=DEPTH))
+            t = _timeit(fn, xs, (w,))
+            rows.append((label, t))
+            print(f"  {name:34s} {label}: {t*1e3:8.3f} ms/layer  "
+                  f"{flops/t/1e12:7.1f} T{'OP' if dtype == jnp.int8 else 'FLOP'}/s",
+                  flush=True)
+    print(f"  {name:34s} int8 speedup: {rows[0][1] / rows[1][1]:.2f}x",
           flush=True)
-
-
-def _chain_conv(x, w, scale, *, k, dtype, iters):
-    """fori chain of conv -> (requant back to input dtype) with a data dep."""
-
-    def body(i, carry):
-        x, bump = carry
-        if dtype == jnp.int8:
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
-            yf = y.astype(jnp.float32) * scale
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
-            yf = y
-        # Data dependence: fold a scalar of y into the next input.
-        bump = bump + jnp.sum(yf[0, 0, 0, :3])
-        if dtype == jnp.int8:
-            # Requantize (what a real quantized layer pays): clip+round.
-            nxt = jnp.clip(
-                yf * (1.0 / scale) * 0.001 + bump * 1e-12, -127, 127
-            ).astype(jnp.int8)
-            nxt = nxt[:, :, :, : x.shape[-1]] if yf.shape[-1] >= x.shape[-1] \
-                else jnp.tile(nxt, (1, 1, 1, x.shape[-1] // yf.shape[-1]))
-        else:
-            nxt = (yf * 0.001 + bump * 1e-12).astype(x.dtype)
-            nxt = nxt[:, :, :, : x.shape[-1]] if yf.shape[-1] >= x.shape[-1] \
-                else jnp.tile(nxt, (1, 1, 1, x.shape[-1] // yf.shape[-1]))
-        return nxt, bump
-
-    (x, bump) = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
-    return bump
-
-
-def _chain_dot(x, w, *, dtype, iters):
-    def body(i, carry):
-        x, bump = carry
-        if dtype == jnp.int8:
-            y = jax.lax.dot_general(
-                x, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            yf = y.astype(jnp.float32)
-            bump = bump + yf[0, 0]
-            nxt = jnp.clip(yf * 1e-6 + bump * 1e-12, -127, 127).astype(jnp.int8)
-        else:
-            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-            bump = bump + y[0, 0]
-            nxt = (y * 1e-6 + bump * 1e-12).astype(x.dtype)
-        return nxt, bump
-
-    x, bump = jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))
-    return bump
-
-
-def measure(name, H, W, cin, cout, k, stride):
-    rng = np.random.default_rng(0)
-    rows = []
-    for dtype, label in ((jnp.bfloat16, "bf16"), (jnp.int8, "int8")):
-        if k == 0:  # dot probe
-            x = jnp.asarray(
-                rng.integers(-3, 3, (cin, cin)), dtype
-            ) if dtype == jnp.int8 else jnp.asarray(
-                rng.standard_normal((cin, cin)) * 0.1, dtype)
-            w = jnp.asarray(rng.integers(-3, 3, (cin, cout)), dtype) \
-                if dtype == jnp.int8 else jnp.asarray(
-                    rng.standard_normal((cin, cout)) * 0.1, dtype)
-            fn = jax.jit(functools.partial(_chain_dot, dtype=dtype,
-                                           iters=ITERS))
-            args = (x, w)
-            flops = 2.0 * cin * cin * cout * ITERS
-        else:
-            x = jnp.asarray(rng.integers(-3, 3, (B, H, W, cin)), dtype) \
-                if dtype == jnp.int8 else jnp.asarray(
-                    rng.standard_normal((B, H, W, cin)) * 0.1, dtype)
-            w = jnp.asarray(rng.integers(-3, 3, (k, k, cin, cout)), dtype) \
-                if dtype == jnp.int8 else jnp.asarray(
-                    rng.standard_normal((k, k, cin, cout)) * 0.05, dtype)
-            scale = jnp.float32(0.01)
-            fn = jax.jit(functools.partial(_chain_conv, k=k, dtype=dtype,
-                                           iters=ITERS))
-            args = (x, w, scale)
-            flops = 2.0 * B * H * W * cin * cout * k * k * ITERS
-        r = fn(*args)
-        r.block_until_ready()  # compile + warm
-        t0 = time.perf_counter()
-        r = fn(*args)
-        r.block_until_ready()
-        dt = time.perf_counter() - t0
-        per_op_ms = dt / ITERS * 1e3
-        tflops = flops / dt / 1e12
-        rows.append((label, per_op_ms, tflops))
-        print(f"  {name:34s} {label}: {per_op_ms:8.3f} ms/op  "
-              f"{tflops:7.1f} T{'OP' if label == 'int8' else 'FLOP'}/s",
-              flush=True)
-    speedup = rows[0][1] / rows[1][1]
-    print(f"  {name:34s} int8 speedup: {speedup:.2f}x", flush=True)
 
 
 def main():
     print(f"backend={jax.default_backend()} devices={jax.devices()}",
           flush=True)
-    def run_one(g):
-        if g[5] == -1:
-            measure_mixed(g[0], g[1], g[2], g[3], g[4])
-        else:
-            measure(*g)
-
     if len(sys.argv) > 1:
-        run_one(GEOMS[int(sys.argv[1])])
+        measure(*GEOMS[int(sys.argv[1])])
         return
     for g in GEOMS:
-        run_one(g)
+        measure(*g)
 
 
 if __name__ == "__main__":
