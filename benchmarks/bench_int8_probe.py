@@ -13,10 +13,14 @@ headline to the quantized trunk (ops/int8_trunk.py).
 Methodology — two timing traps, both hit and fixed here:
 
 1. Same-args-repeated dispatch (CLAUDE.md gotcha): never time the exact
-   call that warmed the program. We cycle N_BUFS distinct device-resident
-   buffers across ITERS pipelined dispatches and block once on the full
-   output list (the pattern validated by bench_fused_sepconv.py, whose
-   numbers sit sanely under peak).
+   call that warmed the program — and never REPEAT an (args) combination
+   inside the timed window either. An earlier revision warmed every buffer
+   and then cycled the same buffers through the timed loop; the tunnel
+   runtime memoized the repeated (program, args) dispatches and reported
+   29-364 PFLOP/s (vs 197 TFLOP/s bf16 peak — measured artifact, r3).
+   Now buffer 0 is used only for compile+warm and each timed dispatch
+   gets a never-before-seen input buffer; we dispatch all ITERS
+   asynchronously and block once on the full output list.
 
 2. Slice-DCE through convolution: a chain whose only live output is a
    *sliced* scalar (e.g. ``sum(y[0,0,0,:3])``) lets XLA propagate the
@@ -51,8 +55,8 @@ from biscuit_tpu.ops.threshold_device import _enable_persistent_compile_cache
 
 _enable_persistent_compile_cache()
 
-ITERS = 12
-N_BUFS = 4
+ITERS = 8
+N_BUFS = ITERS + 1  # xs[0] warms the program; xs[1:] are timed, each once
 DEPTH = 6  # layers chained inside one jit program
 
 # (name, B, H, W, Cin, Cout, kernel) — the model's MXU-heavy convs, at
@@ -148,15 +152,25 @@ def _dev_inputs(shape, dtype, n):
     return [stacked[i] for i in range(n)]
 
 
+def _fence(y):
+    """Drain the device pipeline for real. Over the dev tunnel,
+    ``block_until_ready`` on a remote buffer can return before execution
+    finishes (measured artifact, r3: 253 PFLOP/s "bf16"), so the only
+    trustworthy barrier is fetching a VALUE that depends on the work:
+    an on-device full reduction (keeps every element live — no slice-DCE
+    window) fetched as 4 host bytes. The TPU core runs programs in order,
+    so fencing the last output drains everything queued before it."""
+    return float(jnp.sum(y.astype(jnp.float32) if y.dtype == jnp.int8
+                         else y))
+
+
 def _timeit(fn, xs, ws):
-    outs = [fn(x, *ws) for x in xs]  # compile + warm every buffer
-    jax.block_until_ready(outs)
-    del outs
+    _fence(fn(xs[0], *ws))  # compile + warm (xs[0] never reappears)
     t0 = time.perf_counter()
-    outs = [fn(xs[i % len(xs)], *ws) for i in range(ITERS)]
-    jax.block_until_ready(outs)
+    outs = [fn(x, *ws) for x in xs[1:]]  # each dispatch: fresh args
+    _fence(outs[-1])
     dt = time.perf_counter() - t0
-    return dt / (ITERS * DEPTH)  # seconds per layer
+    return dt / (len(xs[1:]) * DEPTH)  # seconds per layer
 
 
 def measure(name, b, H, W, cin, cout, k):
