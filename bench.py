@@ -8,9 +8,12 @@ SURVEY.md §6): published TF/Keras Xception-299 single-pass inference
 throughput on A100 is ~1.5-2k img/s (fp16/XLA, batch>=64; consistent with
 MLPerf-era Keras benchmarks and the TF model-zoo). slideflow's UQ path
 (slideflow/model/tensorflow: uq_mean per batch) executes K=30 independent
-stochastic passes per tile — dropout is active in the conv trunk too, so no
-trunk reuse is possible — giving 1.8k/30 = **60 tiles/s/GPU**. We keep 60
-as the A100-TF baseline constant.
+full stochastic passes per tile: the shipped stack simply calls the whole
+model K times with training=True and has no trunk-caching path, so every
+pass pays the full network cost regardless of where the dropout layers
+sit. (This repo's uq.py exploits the published model's head-only dropout
+to run the trunk once — an optimization the baseline stack does not
+have.) 1.8k/30 = **60 tiles/s/GPU** is the A100-TF baseline constant.
 
 Measured here, on one TPU chip:
   1. headline (device-resident): uint8 tiles already in HBM -> reinhard-fast
@@ -52,7 +55,7 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_uq_step(jax, jnp):
+def build_uq_step(jax, jnp, corpus_paths=None):
     from biscuit_tpu.data.normalize import (
         inference_preprocess,
         make_normalizer,
@@ -87,9 +90,12 @@ def build_uq_step(jax, jnp):
             prepare_int8_trunk,
         )
 
-        _log("int8: calibrating the w8a8 trunk on a synthetic batch...")
-        calib_u8 = jnp.asarray(np.random.default_rng(7).integers(
-            0, 255, (256, hp.tile_px, hp.tile_px, 3), dtype=np.uint8))
+        # Calibrate on decoded JPEG tiles from the e2e corpus, not noise:
+        # activation ranges from uniform-random pixels are not ranges from
+        # tiles (stain-normalized tissue-like content has a much narrower
+        # post-preprocess distribution).
+        _log("int8: calibrating the w8a8 trunk on decoded corpus tiles...")
+        calib_u8 = jnp.asarray(_corpus_tiles(corpus_paths, 256, hp.tile_px))
         calib = inference_preprocess(jax.device_put(calib_u8, device),
                                      normalizer)
         scales = calibrate_int8_trunk(model, params, batch_stats, calib)
@@ -164,67 +170,97 @@ def _make_corpus(root, tile_px=299):
     return paths
 
 
-def bench_e2e(jax, jnp, params, batch_stats, uq_step, device):
+def _corpus_tiles(paths, n, tile_px):
+    """Decode n tiles from the JPEG corpus (host, native loader) as a
+    uint8 [n, tile_px, tile_px, 3] array — the int8 calibration set."""
+    from biscuit_tpu.data.pipeline import TileBatcher
+
+    batcher = TileBatcher(paths, labels=None, batch_size=n, shuffle=True,
+                          infinite=True, seed=7, tile_px=tile_px)
+    try:
+        return np.asarray(next(iter(batcher))["image"][:n])
+    finally:
+        batcher.close()
+
+
+def bench_e2e(jax, jnp, params, batch_stats, uq_step, device, paths):
     from biscuit_tpu.data.pipeline import PrefetchBatcher, TileBatcher
 
-    with tempfile.TemporaryDirectory() as tmp:
-        _log("e2e: building JPEG tfrecord corpus...")
-        paths = _make_corpus(tmp)
-        batcher = TileBatcher(
-            paths, labels=None, batch_size=BATCH // 4, shuffle=True,
-            infinite=True, seed=0, tile_px=299,
-        )
-        prefetch = PrefetchBatcher(batcher, depth=4)
-        try:
-            it = iter(prefetch)
-            keys = jax.random.split(jax.random.PRNGKey(2), E2E_BATCHES + 1)
-            # Warm the pipeline + reuse the compiled (BATCH//4) program.
-            b = next(it)
-            out = uq_step(params, batch_stats,
-                          jax.device_put(b["image"], device), keys[-1])
-            jax.block_until_ready(out)
+    batcher = TileBatcher(
+        paths, labels=None, batch_size=BATCH // 4, shuffle=True,
+        infinite=True, seed=0, tile_px=299,
+    )
+    prefetch = PrefetchBatcher(batcher, depth=4)
+    try:
+        it = iter(prefetch)
+        keys = jax.random.split(jax.random.PRNGKey(2), E2E_BATCHES + 1)
+        # Warm the pipeline + reuse the compiled (BATCH//4) program.
+        b = next(it)
+        out = uq_step(params, batch_stats,
+                      jax.device_put(b["image"], device), keys[-1])
+        jax.block_until_ready(out)
 
-            n = 0
-            t0 = time.perf_counter()
-            outs = []
-            for i in range(E2E_BATCHES):
+        # Double-buffered stream: upload batch i+1 while the device
+        # computes batch i (device_put enqueues an async copy; the
+        # r3 loop serialized a synchronous 34 MB tunnel upload against
+        # every dispatch, which is where its 4x e2e swing lived).
+        # Per-phase wall buckets (decode wait / device_put call /
+        # dispatch+sync) are reported for attribution — buckets
+        # overlap device work, so they sum to ~dt, not to device time.
+        t_decode = t_put = 0.0
+        n = 0
+        t0 = time.perf_counter()
+        b = next(it)
+        images = jax.device_put(b["image"], device)
+        n += int(np.asarray(b["mask"]).sum())
+        outs = []
+        for i in range(E2E_BATCHES):
+            outs.append(uq_step(params, batch_stats, images, keys[i]))
+            if i + 1 < E2E_BATCHES:
+                t1 = time.perf_counter()
                 b = next(it)
+                t2 = time.perf_counter()
                 images = jax.device_put(b["image"], device)
-                outs.append(uq_step(params, batch_stats, images, keys[i]))
+                t3 = time.perf_counter()
+                t_decode += t2 - t1
+                t_put += t3 - t2
                 n += int(np.asarray(b["mask"]).sum())
-            jax.block_until_ready(outs)
-            dt = time.perf_counter() - t0
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        _log(f"e2e buckets over {dt:.2f}s: decode-wait {t_decode:.2f}s,"
+             f" device_put {t_put:.2f}s, dispatch+sync "
+             f"{dt - t_decode - t_put:.2f}s")
 
-        finally:
-            # Stop the decode worker before the tempdir is torn down.
-            prefetch.close()
-            batcher.close()
+    finally:
+        # Stop the decode worker before the tempdir is torn down.
+        prefetch.close()
+        batcher.close()
 
-        # Companion: host decode-only throughput (no device) — separates
-        # the host pipeline's capability from the dev tunnel's
-        # host->device transfer, which dominates e2e here. A FRESH
-        # non-prefetched batcher: draining the prefetch queue filled
-        # during the device phase would overstate decode rate.
-        host_batcher = TileBatcher(
-            paths, labels=None, batch_size=BATCH // 4, shuffle=True,
-            infinite=True, seed=1, tile_px=299,
-        )
-        try:
-            import resource
+    # Companion: host decode-only throughput (no device) — separates
+    # the host pipeline's capability from the dev tunnel's
+    # host->device transfer, which dominates e2e here. A FRESH
+    # non-prefetched batcher: draining the prefetch queue filled
+    # during the device phase would overstate decode rate.
+    host_batcher = TileBatcher(
+        paths, labels=None, batch_size=BATCH // 4, shuffle=True,
+        infinite=True, seed=1, tile_px=299,
+    )
+    try:
+        import resource
 
-            hit = iter(host_batcher)
-            next(hit)  # warm file handles/indices
-            n_host = 0
-            ru0 = resource.getrusage(resource.RUSAGE_SELF)
-            t0 = time.perf_counter()
-            for i in range(E2E_BATCHES):
-                n_host += int(np.asarray(next(hit)["mask"]).sum())
-            host_dt = time.perf_counter() - t0
-            ru1 = resource.getrusage(resource.RUSAGE_SELF)
-            host_cpu = (ru1.ru_utime + ru1.ru_stime
-                        - ru0.ru_utime - ru0.ru_stime)
-        finally:
-            host_batcher.close()
+        hit = iter(host_batcher)
+        next(hit)  # warm file handles/indices
+        n_host = 0
+        ru0 = resource.getrusage(resource.RUSAGE_SELF)
+        t0 = time.perf_counter()
+        for i in range(E2E_BATCHES):
+            n_host += int(np.asarray(next(hit)["mask"]).sum())
+        host_dt = time.perf_counter() - t0
+        ru1 = resource.getrusage(resource.RUSAGE_SELF)
+        host_cpu = (ru1.ru_utime + ru1.ru_stime
+                    - ru0.ru_utime - ru0.ru_stime)
+    finally:
+        host_batcher.close()
     # CPU-seconds/tile is the machine-independent decode cost; the
     # projection assumes linear thread scaling (measured flat at 1 core,
     # benchmarks/bench_host_decode.py) on a co-located multi-core VM.
@@ -239,21 +275,27 @@ def main():
 
     from biscuit_tpu.models.flops import peak_flops, uq_flops_per_tile
 
-    _hp, params, batch_stats, uq_step, device = build_uq_step(jax, jnp)
+    with tempfile.TemporaryDirectory() as tmp:
+        _log("building JPEG tfrecord corpus (e2e stream + int8 calib)...")
+        corpus_paths = _make_corpus(tmp)
 
-    _log("headline: device-resident UQ throughput...")
-    tiles_per_s = bench_device_resident(jax, jnp, params, batch_stats,
-                                        uq_step)
+        _hp, params, batch_stats, uq_step, device = build_uq_step(
+            jax, jnp, corpus_paths=corpus_paths)
 
-    _log("companion: prefetch-fed end-to-end tile stream...")
-    try:
-        (e2e_tiles_per_s, host_tiles_per_s, host_cpu_us,
-         host_proj_8core) = bench_e2e(
-            jax, jnp, params, batch_stats, uq_step, device)
-    except Exception as e:  # companion metric must not sink the headline
-        _log(f"e2e bench failed: {e!r}")
-        e2e_tiles_per_s = host_tiles_per_s = None
-        host_cpu_us = host_proj_8core = None
+        _log("headline: device-resident UQ throughput...")
+        tiles_per_s = bench_device_resident(jax, jnp, params, batch_stats,
+                                            uq_step)
+
+        _log("companion: prefetch-fed end-to-end tile stream...")
+        try:
+            (e2e_tiles_per_s, host_tiles_per_s, host_cpu_us,
+             host_proj_8core) = bench_e2e(
+                jax, jnp, params, batch_stats, uq_step, device,
+                corpus_paths)
+        except Exception as e:  # companion metric must not sink the headline
+            _log(f"e2e bench failed: {e!r}")
+            e2e_tiles_per_s = host_tiles_per_s = None
+            host_cpu_us = host_proj_8core = None
 
     fpt = uq_flops_per_tile("xception", tile_px=299, k=30)
     peak = peak_flops(device.device_kind)

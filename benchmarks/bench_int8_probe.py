@@ -32,9 +32,15 @@ Methodology — two timing traps, both hit and fixed here:
 
 Each measurement jits a DEPTH-layer chain (conv -> requantize back to the
 input dtype/shape, the cost a real quantized layer pays between MXU ops)
-and times ITERS dispatches over rotating inputs; per-layer ms and
-T(FL)OP/s are reported. Inputs are generated ON DEVICE (one PRNG program)
-— shipping hundreds of MB through the dev tunnel takes minutes.
+and times ITERS dispatches, each over a never-before-seen input buffer
+(N_BUFS = ITERS+1 buffers: xs[0] compiles/warms, xs[1:] are timed once
+each). The timed window is closed by fetching ONE scalar that reduces
+EVERY output — not just the last — so a runtime that only materializes
+demanded values (the tunnel has memoized/elided work before; see _fence)
+cannot skip any timed dispatch. The fence program's own cost (reduction
++ tunnel round-trip) is measured once on already-materialized buffers
+and subtracted. Inputs are generated ON DEVICE (one PRNG program) —
+shipping hundreds of MB through the dev tunnel takes minutes.
 
 Run (one geometry per process — remote compiles are minutes and a hung
 compile should kill only one measurement):
@@ -60,8 +66,9 @@ N_BUFS = ITERS + 1  # xs[0] warms the program; xs[1:] are timed, each once
 DEPTH = 6  # layers chained inside one jit program
 
 # (name, B, H, W, Cin, Cout, kernel) — the model's MXU-heavy convs, at
-# batch sizes keeping each input buffer under ~200 MB (12 full-size
-# outputs stay live during the pipelined timing loop).
+# batch sizes keeping each input buffer under ~200 MB (ITERS=8 full-size
+# outputs stay live during the pipelined timing loop, plus N_BUFS=9
+# inputs).
 # kernel: 1/3 = conv k x k; 0 = plain dot (Cin x Cin @ Cin x Cout);
 # -1 = MIXED (bf16 depthwise 3x3 -> pointwise in the probed dtype, the
 # pattern a w8a8 entry flow actually runs).
@@ -152,25 +159,45 @@ def _dev_inputs(shape, dtype, n):
     return [stacked[i] for i in range(n)]
 
 
-def _fence(y):
-    """Drain the device pipeline for real. Over the dev tunnel,
-    ``block_until_ready`` on a remote buffer can return before execution
-    finishes (measured artifact, r3: 253 PFLOP/s "bf16"), so the only
-    trustworthy barrier is fetching a VALUE that depends on the work:
-    an on-device full reduction (keeps every element live — no slice-DCE
-    window) fetched as 4 host bytes. The TPU core runs programs in order,
-    so fencing the last output drains everything queued before it."""
-    return float(jnp.sum(y.astype(jnp.float32) if y.dtype == jnp.int8
-                         else y))
+@jax.jit
+def _fence_reduce(ys):
+    """One scalar that depends on EVERY element of EVERY output. In-order
+    execution would make fencing only the last output sufficient on a
+    standard PJRT stream — but this tunnel runtime has been caught
+    memoizing repeated dispatches and returning from block_until_ready
+    early (measured artifacts, r3: 253 PFLOP/s "bf16"), so assume it may
+    also defer/elide work whose value is never demanded. Reducing all
+    outputs into the single fetched scalar removes that failure mode;
+    full reductions also leave no slice-DCE window."""
+    return functools.reduce(
+        jnp.add, [jnp.sum(y.astype(jnp.float32)) for y in ys])
+
+
+def _fence(ys):
+    """Drain the device pipeline for real: fetch (as 4 host bytes) a value
+    that depends on every timed output. See _fence_reduce."""
+    return float(_fence_reduce(list(ys)))
 
 
 def _timeit(fn, xs, ws):
-    _fence(fn(xs[0], *ws))  # compile + warm (xs[0] never reappears)
+    n = len(xs) - 1
+    warm = fn(xs[0], *ws)  # compile + warm (xs[0] never reappears)
+    _fence([warm] * n)     # compile the n-ary fence program
+    # Fence overhead: the same fence program over already-materialized,
+    # never-fenced buffers (xs[1:] share the chain's output shape/dtype by
+    # construction — _back_to_cin restores it). Distinct args, so the
+    # tunnel's dispatch memoization can't shortcut it. Subtracted from the
+    # timed window below so the reduction + round-trip doesn't bias
+    # per-layer time upward (it is amortized over only n*DEPTH layers).
+    t0 = time.perf_counter()
+    _fence(list(xs[1:]))
+    fence_overhead = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     outs = [fn(x, *ws) for x in xs[1:]]  # each dispatch: fresh args
-    _fence(outs[-1])
-    dt = time.perf_counter() - t0
-    return dt / (len(xs[1:]) * DEPTH)  # seconds per layer
+    _fence(outs)
+    dt = time.perf_counter() - t0 - fence_overhead
+    return max(dt, 1e-9) / (n * DEPTH)  # seconds per layer
 
 
 def measure(name, b, H, W, cin, cout, k):
