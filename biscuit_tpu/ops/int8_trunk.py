@@ -1,7 +1,49 @@
 """w8a8 (int8 weights + int8 activations) Xception trunk for inference.
 
-STATUS: built + CPU-parity-tested; OPT-IN pending the on-chip probe
-(benchmarks/bench_int8_probe.py). Enable with BISCUIT_INT8_TRUNK=1 or
+STATUS: built + CPU-parity-tested; on-chip probe MEASURED (v5e via axon,
+2026-08-19, benchmarks/bench_int8_probe.py — per-layer chains, fresh
+args per dispatch, all outputs fenced, fence cost subtracted):
+
+    geometry                         bf16 ms   int8 ms   int8 speedup
+    middle_pw 19x19 728->728           1.006     0.462       2.18x
+    exit_pw   10x10 1536->2048         1.067     0.719       1.48x
+    entry_pw  75x75 128->128           1.223     0.338       3.62x
+    stem conv2 147x147 32->64 k3       2.350     1.627       1.44x
+    big dot 8192^3 (peak probe)        6.281     3.145       2.00x
+    entry0 sep 147x147 64->128 MIXED   3.765     3.666       1.03x
+    entry1 sep 74x74 128->256 MIXED    2.269     2.274       1.00x
+
+XLA does emit native int8 MXU convs: the peak probe hits 350 TOP/s (89%
+of the 394 TOP/s spec) at exactly 2x bf16, and every isolated pointwise
+conv wins 1.44-3.62x. The MIXED rows are the honest entry-flow picture:
+with the bf16 depthwise in the same program, the dw's VPU-issue floor
+dominates and quantizing the following pw is a wash.
+
+END-TO-END VERDICT (K=30 UQ headline, B=1024, bench.py, same chip/day):
+
+    trunk                              tiles/s     MFU
+    bf16 (fused Pallas middle)         4151.1     35.6%   <- headline
+    w8a8 stem/entry/exit               4150.7     35.6%
+    w8a8 + int8 middle (XLA convs)     3825.7     32.8%
+
+ACQUITTAL — the trunk's default stays bf16, for measured reasons:
+(1) w8a8 on stem/entry/exit is EXACTLY neutral: the entry flow is the
+MIXED wash above, and the stem/exit wins (1.44-1.48x on probe) apply to
+slices too small to move a 245 ms budget dominated by depthwise VPU time
+(~147 ms) + the fused middle. (2) Extending int8 to the middle LOSES
+7.8%: the isolated middle_pw probe wins 2.18x, but the real competitor
+is the fused bf16 Pallas kernel whose dw->pw handoff never leaves VMEM —
+the unfused int8 path pays that HBM round trip plus quantize VPU work,
+and the fusion margin beats int8's 2x MXU rate. A fused-int8 middle
+kernel cannot recover it (quantize cost on the issue-bound VPU —
+analysis below). This closes the last open lever on the 35.6% MFU
+headline: the remaining gap to peak is the depthwise VPU-issue floor
+(ops/fused_sepconv.py tuning record). Do not re-attempt without new
+evidence (e.g. a Mosaic packed-bf16 VPU path or an int8 depthwise
+story). The w8a8 path stays maintained as an opt-in for weight-memory-
+constrained serving (4x smaller trunk weights than f32, 2x vs bf16).
+
+Enable with BISCUIT_INT8_TRUNK=1 or
 ``UncertaintyInterface(..., int8_trunk=True)`` (which calibrates on the
 first >=256 tiles while answering through the exact f32 path, then
 switches); lower-level callers build weights once via
