@@ -35,6 +35,12 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from biscuit_tpu.ops.threshold_device import (
+        _enable_persistent_compile_cache,
+    )
+
+    _enable_persistent_compile_cache()
+
     from biscuit_tpu.data.augment import augment_batch, jpeg_augment_batch
     from biscuit_tpu.data.normalize import make_normalizer
     from biscuit_tpu.hp import nature2022
@@ -106,16 +112,25 @@ def main():
             img, acc = jax.lax.fori_loop(0, n, body, (images, 0.0))
             return acc
 
-        jax.block_until_ready(chain(images, 1))
+        # Timing rules learned from the tunnel runtime (bench_int8_probe
+        # methodology): (1) never repeat an exact (program, args) pair —
+        # repeated dispatches get memoized and report ~0; (2) never trust
+        # block_until_ready on a remote buffer — fetch the VALUE, which
+        # cannot exist before the work ran. n is a traced fori_loop bound,
+        # so chain(images, n) is ONE program and each distinct n is a
+        # fresh args pair; iterations serialize via the img data
+        # dependency. per-iter = (t(n2)-t(n1))/(n2-n1) cancels dispatch +
+        # fetch overhead.
+        float(chain(images, jnp.int32(1)))  # compile + warm
+        n1, n2 = 2, 7
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(images, 1))
+        float(chain(images, jnp.int32(n1)))
         a = time.perf_counter() - t0
-        iters = 6
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(images, iters))
+        float(chain(images, jnp.int32(n2)))
         b = time.perf_counter() - t0
-        per = (b - a) / (iters - 1) * 1e3
-        print(f"{names[upto]:12s} {per:9.1f} {per - prev:9.1f}")
+        per = (b - a) / (n2 - n1) * 1e3
+        print(f"{names[upto]:12s} {per:9.1f} {per - prev:9.1f}", flush=True)
         prev = per
     print(f"throughput at full step: {batch / (prev / 1e3):.0f} tiles/s "
           f"(device compute)")
