@@ -17,8 +17,20 @@ aggregation min/max/mean at threshold.py:544-550, uint8 group-label cast at
   (:mod:`biscuit_tpu.ops.threshold_device`, built on
   :mod:`biscuit_tpu.ops.roc_jax`) runs the group means, threshold searches
   and final AUC as one fused XLA program. Auto-dispatch picks the device
-  for frames with >= ``BISCUIT_DEVICE_STATS_MIN_ROWS`` rows (default
-  500k) and can be forced either way with ``BISCUIT_DEVICE_STATS=1/0``.
+  for frames with >= ``BISCUIT_DEVICE_STATS_MIN_ROWS`` rows (default 1M,
+  set from the measured break-even — see below) and can be forced either
+  way with ``BISCUIT_DEVICE_STATS=1/0``.
+
+  Measured host-vs-device ``detect`` crossover (v5e over the dev tunnel,
+  2026-08-19, benchmarks/bench_stats_crossover.py; warm end-to-end
+  device time incl. pandas prep + transfer, min of 3, fresh frames):
+  50k rows 0.20x, 100k 0.34x, 250k 0.61x, 500k 0.81x, **1M 3.44x**, 2M
+  1.02x-1.9x (tunnel-weather-bound; programs alone are 6.3x). The host
+  path has a nonlinear cliff between 500k and 1M (266 ms -> 1.9 s), so
+  the 1M default is robust; published-scale nested-CV folds (~400k
+  tiles at the full 'AA' rung) land in the HOST regime under
+  auto-dispatch. On a co-located TPU VM transfer is PCIe-speed and the
+  true break-even is lower — tune MIN_ROWS down there.
   The host path remains the default for small frames and for calls the
   device backend punts on (``plot=True`` in detect, degenerate inputs).
 
@@ -56,7 +68,8 @@ def _dispatch_device(df, backend, plot) -> bool:
 
     Explicit ``backend`` wins; otherwise ``BISCUIT_DEVICE_STATS`` (1/0)
     forces it globally; otherwise frames with >=
-    ``BISCUIT_DEVICE_STATS_MIN_ROWS`` rows (default 500k) go to the device.
+    ``BISCUIT_DEVICE_STATS_MIN_ROWS`` rows (default 1M — the measured
+    tunnel break-even, module docstring) go to the device.
     """
     import os
 
@@ -71,7 +84,7 @@ def _dispatch_device(df, backend, plot) -> bool:
         return env not in ("0", "", "false")
     if plot:
         return False
-    min_rows = int(os.environ.get("BISCUIT_DEVICE_STATS_MIN_ROWS", 500_000))
+    min_rows = int(os.environ.get("BISCUIT_DEVICE_STATS_MIN_ROWS", 1_000_000))
     return len(df) >= min_rows
 
 
@@ -229,7 +242,15 @@ def apply(
         except threshold_device.HostFallback as e:
             log.debug(f"Device stats backend fell back to host: {e}")
 
-    log.debug(f"Applying tile UQ threshold of {tile_uq:.5f}")
+    if tile_uq:
+        log.debug(f"Applying tile UQ threshold of {tile_uq:.5f}")
+    else:
+        # DELIBERATE FIX vs threshold.py:284 — the reference formats
+        # tile_uq with :.5f unconditionally, so apply(df, tile_uq=None, ...)
+        # (the documented "skip the tile filter" call) raises TypeError
+        # before reaching the `if tile_uq` guard below. The device path
+        # (ops/threshold_device.apply_device) already skips cleanly.
+        log.debug("No tile UQ threshold; skipping tile-level filter")
     if patients:
         df["patient"] = df["slide"].map(patients)
     log.debug(
