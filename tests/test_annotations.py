@@ -273,6 +273,87 @@ class TestSitePreservedSplitsRealSites:
 
 
 # ---------------------------------------------------------------------------
+# The CV protocol end-to-end on real annotation metadata
+# ---------------------------------------------------------------------------
+
+
+class TestLadderOnRealAnnotations:
+    def test_run_step2_trains_real_slide_selection(self, tmp_path):
+        """Experiment.run(step 2) with the REAL tcga.csv as the project
+        annotations (tmp copy; run() writes include columns into its
+        experiments.csv): the ZD rung selects the 10 lowest-order real
+        slides, 3-fold site-preserved CV runs on their real site codes,
+        and the artifact tree materializes under the real slide names."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_experiment import tiny_hp, write_tiles
+
+        from biscuit_tpu import utils
+        from biscuit_tpu.experiment import Experiment
+        from biscuit_tpu.project import Project
+
+        raw = pd.read_csv(TCGA, dtype=str)
+        selected = sorted(
+            _expected_selection(raw, "LUAD", 5, "order", False)
+            | _expected_selection(raw, "LUSC", 5, "order", False)
+        )
+        labels = dict(zip(raw["slide"], raw["cohort"]))
+
+        ann_copy = str(tmp_path / "tcga.csv")
+        shutil.copyfile(TCGA, ann_copy)
+        tfr = tmp_path / "tfr"
+        tfr.mkdir()
+        rng = np.random.default_rng(0)
+        for s in selected:
+            write_tiles(tfr, s, 0 if labels[s] == "LUAD" else 1,
+                        hard=False, rng=rng, n=8)
+
+        P = Project(str(tmp_path / "proj"), annotations=ann_copy,
+                    name="TCGA", create=True)
+        P.add_source("SRC", tfrecords=str(tfr))
+        exp = Experiment(P, outcome="cohort", outcome1="LUAD",
+                         outcome2="LUSC", outdir=str(tmp_path / "results"))
+        exp.train_kwargs = {"seed": 0, "validate_on_batch": 8,
+                            "validation_steps": 2}
+        exp.run({"ZD": {"out1": 5, "out2": 5}}, steps=[2], hp=tiny_hp())
+
+        # The run-scoped annotations got the include column for exactly
+        # the expected real slides.
+        exps = pd.read_csv(os.path.join(P.root, "experiments.csv"),
+                           dtype=str)
+        inc = sorted(exps.loc[exps["include_ZD"] == "include", "slide"])
+        assert inc == selected
+
+        # 3 CV folds trained over the real slides; every selected slide
+        # was validated on exactly once across folds (k-fold coverage),
+        # under its real TCGA name.
+        val_slides = []
+        for k in (1, 2, 3):
+            d = utils.find_model(P, "EXP_ZD", outcome="cohort", kfold=k)
+            assert os.path.exists(os.path.join(d, "results_log.csv")), d
+            tile_df = pd.read_csv(
+                os.path.join(d, "tile_predictions_val_epoch1.csv"))
+            val_slides.extend(tile_df["slide"].unique())
+        assert sorted(val_slides) == selected
+
+        # The folds preserved the real site codes (Site-29 holds 3 of the
+        # 10 slides across BOTH cohorts; Site-69 two): no site's slides
+        # are validated in more than one fold.
+        sites = dict(zip(raw["slide"], raw["site"]))
+        fold_of = {}
+        for k in (1, 2, 3):
+            d = utils.find_model(P, "EXP_ZD", outcome="cohort", kfold=k)
+            tile_df = pd.read_csv(
+                os.path.join(d, "tile_predictions_val_epoch1.csv"))
+            for s in tile_df["slide"].unique():
+                site = sites[s]
+                assert fold_of.setdefault(site, k) == k, (
+                    f"site {site} validated in folds {fold_of[site]} and {k}"
+                )
+
+
+# ---------------------------------------------------------------------------
 # Results-free CLI drive: configure projects straight on the reference files
 # ---------------------------------------------------------------------------
 
