@@ -83,13 +83,13 @@ def _local_mesh_mode(outfile, project_root):
     print(f"proc {pid}: LOCAL OK", flush=True)
 
 
-def _distributed_ladder(outfile, project_root):
+def _distributed_ladder(outfile, project_root, n_submeshes=1):
     """Distributed fold scheduling (experiment.py run() under a
-    multi-process runtime): train_kwargs={'n_submeshes': 1} makes each
+    multi-process runtime): train_kwargs={'n_submeshes': N} makes each
     process claim (experiment, fold) tasks from the coordination-service
-    work queue and train them over its OWN devices on the shared artifact
-    tree; steps close with fleet-wide status exchanges. Runs steps 2, 3,
-    5 and 6 of the protocol on one ladder size."""
+    work queue and train them over N submeshes of its OWN devices on the
+    shared artifact tree; steps close with fleet-wide status exchanges.
+    Runs steps 2, 3, 5 and 6 of the protocol on one ladder size."""
     from os.path import join
 
     import jax
@@ -109,8 +109,8 @@ def _distributed_ladder(outfile, project_root):
         P, eval_projects=[P], outcome="cohort", outcome1="LUAD",
         outcome2="LUSC", outdir=join(project_root, "ladder_results"))
     exp.train_kwargs = {
-        "seed": 0, "n_submeshes": 1, "validate_on_batch": 8,
-        "validation_steps": 2,
+        "seed": 0, "n_submeshes": int(n_submeshes),
+        "validate_on_batch": 8, "validation_steps": 2,
     }
     # Record which tasks THIS process actually trained/evaluated — the
     # test asserts the claim queue really distributed work across hosts
@@ -296,7 +296,8 @@ def main():
         _local_mesh_mode(outfile, sys.argv[7])
         return
     if len(sys.argv) > 6 and sys.argv[6] == "ladder":
-        _distributed_ladder(outfile, sys.argv[7])
+        _distributed_ladder(outfile, sys.argv[7],
+                            sys.argv[8] if len(sys.argv) > 8 else 1)
         return
     if len(sys.argv) > 6 and sys.argv[6] == "ladderfail":
         _distributed_ladder_failure(outfile, sys.argv[7])

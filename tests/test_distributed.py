@@ -262,6 +262,73 @@ def test_distributed_fold_failure_aborts_every_host(tmp_path):
     assert any("peer host failed step 2" in e for e in errs), errs
 
 
+def test_four_process_lockstep_and_fold_scheduling(tmp_path):
+    """The >2-host shakeout (nproc=2 cannot distinguish pairwise behavior
+    from fleet behavior — e.g. a broadcast that only reaches process 1, or
+    an exchange_ok that stops at the first peer).
+
+    Phase 1 — lockstep data parallelism at 4 processes x 1 device: all
+    four processes hold bitwise-identical replicated state, and step-1
+    forward/gradient parity holds against the 1-process x 4-device golden.
+
+    Phase 2 — distributed fold scheduling at 4 processes x 2 devices with
+    n_submeshes=2 (two 1-device submeshes per host): the 7 (experiment,
+    fold) tasks are claimed exactly once fleet-wide, more than one host
+    does real work, the eval runs on exactly one host, and the shared
+    artifact tree is complete."""
+    from biscuit_tpu import utils
+
+    r4 = _run_group(4, 1, tmp_path, "mp4", timeout=1200)
+    golden = _run_group(1, 4, tmp_path, "sp4")[0]
+    for i in (1, 2, 3):
+        assert r4[0]["losses"] == r4[i]["losses"], i
+        assert r4[0]["params_checksum"] == r4[i]["params_checksum"], i
+        assert r4[0]["uq_probs_mean"] == r4[i]["uq_probs_mean"], i
+    assert all(np.isfinite(r4[0]["losses"])) and r4[0]["losses"][0] > 0
+    np.testing.assert_allclose(
+        r4[0]["losses"][0], golden["losses"][0], rtol=1e-5)
+    assert r4[0]["accs"] == golden["accs"]
+    np.testing.assert_allclose(
+        r4[0]["cks_steps"], golden["cks_steps"], rtol=1e-6)
+
+    P = _make_project(tmp_path)
+    r = _run_group(4, 2, tmp_path, "ladder4",
+                   extra=("ladder", P.root, "2"), timeout=2400)
+    tasks = [tuple([t[0], tuple(t[1])]) for res in r for t in res["trained"]]
+    assert len(tasks) == len(set(tasks)), tasks
+    assert set(tasks) == {
+        ("EXP_ZC", (1,)), ("EXP_ZC", (2,)), ("EXP_ZC", (3,)),
+        ("EXP_ZC_UQ", (1,)), ("EXP_ZC_UQ", (2,)), ("EXP_ZC_UQ", (3,)),
+        ("EXP_ZC_FULL", ()),
+    }, sorted(tasks)
+    # 7 tasks over 4 claimants: the queue must actually spread them (a
+    # single host doing everything means the claims never distributed).
+    workers = sum(1 for res in r if res["trained"])
+    assert workers >= 2, [res["trained"] for res in r]
+    assert sum(res["evals"] for res in r) == 1
+    for label, kfold in [("EXP_ZC", 1), ("EXP_ZC", 2), ("EXP_ZC", 3),
+                         ("EXP_ZC_UQ", 1), ("EXP_ZC_UQ", 2),
+                         ("EXP_ZC_UQ", 3), ("EXP_ZC_FULL", None)]:
+        d = utils.find_model(P, label, outcome="cohort", kfold=kfold)
+        assert os.path.exists(os.path.join(d, "results_log.csv")), d
+    assert len(os.listdir(P.eval_dir)) == 1
+
+
+def test_four_process_fold_failure_aborts_every_host(tmp_path):
+    """Abort-everywhere at nproc=4: exactly one host raises the injected
+    fold failure; the other three all surface 'peer host failed' at the
+    step-boundary exchange (exchange_ok must fan beyond the first peer)."""
+    P = _make_project(tmp_path)
+    r = _run_group(4, 1, tmp_path, "lfail4", extra=("ladderfail", P.root),
+                   timeout=1800)
+    errs = [res["error"] for res in r]
+    assert all(e is not None for e in errs), errs
+    injected = [e for e in errs if "injected fold-2 failure" in e]
+    peers = [e for e in errs if "peer host failed step 2" in e]
+    assert len(injected) == 1, errs
+    assert len(peers) == 3, errs
+
+
 def test_preemption_sigterm_checkpoint_and_resume(tmp_path):
     """Preemption-safe training (SURVEY §5.3): a SIGTERM (TPU maintenance
     / spot reclaim notice) mid-fold makes the trainer commit a checkpoint
