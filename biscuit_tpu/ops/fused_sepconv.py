@@ -69,6 +69,21 @@ record):
   packed-bf16 elementwise FMA (bf16 ALU ops are unpacked to f32 lanes,
   see the bf16-accumulation variant above), so the 2x lane-packing win
   requires compiler support, not a kernel rewrite.
+
+Dual-stream MXU/VPU overlap measured and REJECTED (r4, v5e, B=256,
+fresh-inputs fenced timing — benchmarks/bench_dual_stream.py): the last
+structural idea was to split each program's images into two independent
+8-image streams interleaved one half-unit out of phase, so each stream's
+pointwise matmul (MXU) has the other stream's depthwise taps (VPU) as
+independent co-executable work — steady-state wall max(VPU, MXU) instead
+of VPU + MXU, worth up to ~2x if Mosaic's scheduler overlaps them.
+Measured: production 22.22 ms, dual-interleave 23.89 ms, dual-grouped
+(same layout/carries, deliberately non-overlappable ordering as the
+control) 23.93 ms. Interleave == grouped within noise — Mosaic issues
+the streams serially, and the halved tap sections + bf16 carries cost
+~7% on top. With intra-kernel co-execution, MXU tap-offload, cheaper
+formulations, and lane packing all measured dead, the VPU issue floor
+stands as this kernel's hard limit on current hardware/compiler.
 """
 
 from __future__ import annotations
