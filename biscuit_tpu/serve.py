@@ -1,0 +1,265 @@
+"""Serialized AOT servables: one-file deployment artifacts (jax.export).
+
+Reference seam: slideflow serving reconstructs the Python/TF model in
+every process (`sf.model.tensorflow.UncertaintyInterface`, used by the
+reference's hot loop at /root/reference/results.py:234-257) — serving a
+model requires the full training stack importable wherever tiles are
+scored. TPU-native redesign: the complete inference program
+
+    uint8 tiles -> stain normalize + standardize -> Xception trunk
+    -> K MC-dropout head passes -> (softmax mean, uncertainty)
+
+is traced ONCE, with the trained weights baked in as constants, and
+exported to a versioned StableHLO artifact (`jax.export`). Any later
+process deserializes and calls it with no biscuit model code, no Flax,
+no checkpoint parsing — just `load_servable(path)(tiles)`. The artifact
+pins the exact serving numerics at export time (jax.export's guarantee:
+compiled-in ops stay loadable across jax releases per its compatibility
+window), which removes the skew class where a serving fleet upgrades a
+library and silently changes predictions.
+
+Portability vs fusion:
+
+* Default (``use_fused=None``): path selection follows the exporting
+  host's backend, same auto-gating as live inference. Exporting ON a
+  TPU host bakes the fused Pallas kernels (preprocess / middle flow /
+  MC head) as `tpu_custom_call`s — fastest, and Mosaic custom calls are
+  on jax.export's stable-compatibility list — but the artifact is
+  TPU-only.
+* ``use_fused=False`` forces the pure-XLA paths: the artifact is then
+  plain StableHLO and can additionally be lowered for several platforms
+  at once (``platforms=("tpu", "cpu")``) — one artifact served anywhere,
+  at XLA-path speed (the fused kernels are worth ~1.5x on the middle
+  flow; see PARITY.md).
+
+The exported program has a static batch (the MXU wants static shapes;
+SURVEY.md §6 baselines are batched): ``Servable`` pads the last partial
+batch and strips the padding, so callers keep the UncertaintyInterface
+contract (any n tiles in, n rows out).
+
+No reference counterpart — deliberate TPU-serving addition (the
+reference has no deployment story beyond re-importing the stack).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = b"BISCUIT-SERVABLE\n"
+_FORMAT_VERSION = 1
+
+
+def _weights_digest(model_path: str) -> Optional[str]:
+    """blake2b of the checkpoint weights (same fingerprint convention as
+    int8 calibration persistence — train/uq.py _weights_digest)."""
+    import hashlib
+
+    p = os.path.join(model_path, "model.msgpack")
+    if not os.path.exists(p):
+        return None
+    h = hashlib.blake2b(digest_size=16)
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def export_servable(
+    model_path: str,
+    out_path: Optional[str] = None,
+    batch_size: int = 64,
+    k: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    use_fused: Optional[bool] = None,
+) -> str:
+    """Export a saved model dir to a single-file UQ servable.
+
+    Args:
+        model_path: trained model directory (params.json + model.msgpack).
+        out_path: artifact file (default ``<model_path>/servable.biscuit``).
+        batch_size: static batch of the exported program. ``Servable``
+            pads/chunks around it; pick the serving sweet spot (1024 on
+            v5e for max throughput, smaller for latency).
+        k: MC-dropout samples (default: the model's ``hp.uq_samples``).
+        platforms: lowering platforms, e.g. ``("tpu",)`` or
+            ``("tpu", "cpu")``. Default: the exporting host's backend.
+            Multi-platform export requires ``use_fused=False`` (Pallas
+            TPU kernels cannot lower for CPU).
+        use_fused: bake the fused Pallas kernels (None = auto: fused on
+            a TPU exporting host, XLA elsewhere; False = portable pure
+            StableHLO; True = require TPU kernels).
+
+    Returns the artifact path.
+    """
+    from .data.normalize import (
+        inference_preprocess,
+        make_normalizer,
+        per_image_standardization,
+    )
+    from .train.trainer import load_checkpoint
+    from .train.uq import mc_dropout_predict
+
+    model, params, batch_stats, hp, _meta = load_checkpoint(model_path)
+    k = int(k if k is not None else hp.uq_samples)
+    normalizer = make_normalizer(hp.normalizer)
+    if platforms is not None and len(platforms) > 1 and use_fused is not False:
+        raise ValueError(
+            "multi-platform export requires use_fused=False (Pallas TPU "
+            "kernels lower only for TPU)")
+    if use_fused is True and jax.default_backend() != "tpu":
+        raise ValueError("use_fused=True requires exporting on a TPU host")
+    fused_kw = {}
+    if use_fused is not None:
+        fused_kw = dict(fused_trunk=use_fused, use_pallas=use_fused)
+
+    def preprocess(images_u8):
+        if use_fused is not False:
+            # Auto/fused: same gating as live inference (fused Pallas
+            # preprocess on a TPU exporting host when applicable).
+            return inference_preprocess(images_u8, normalizer)
+        # use_fused=False promises a pure-StableHLO artifact — take the
+        # exact XLA chain even when exporting on a TPU host (the fused
+        # preprocess is a tpu_custom_call too).
+        x = images_u8.astype(jnp.float32)
+        if normalizer is not None:
+            x = normalizer(x)
+        return per_image_standardization(x)
+
+    def infer(images_u8, key_data):
+        x = preprocess(images_u8)
+        key = jax.random.wrap_key_data(key_data)
+        return mc_dropout_predict(model, params, batch_stats, x, key, k=k,
+                                  **fused_kw)
+
+    key_data = jax.random.key_data(jax.random.PRNGKey(0))
+    args = (
+        jax.ShapeDtypeStruct((batch_size, hp.tile_px, hp.tile_px, 3),
+                             jnp.uint8),
+        jax.ShapeDtypeStruct(key_data.shape, key_data.dtype),
+    )
+    exp_kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jax.export.export(jax.jit(infer), **exp_kw)(*args)
+    blob = bytes(exported.serialize())
+
+    header = {
+        "format_version": _FORMAT_VERSION,
+        "arch": model.arch,
+        "tile_px": hp.tile_px,
+        "batch_size": batch_size,
+        "k": k,
+        "normalizer": hp.normalizer,
+        "platforms": list(exported.platforms),
+        "key_shape": list(key_data.shape),
+        "key_dtype": str(key_data.dtype),
+        "jax_version": jax.__version__,
+        "weights_blake2b": _weights_digest(model_path),
+        "fused": use_fused,
+    }
+    if out_path is None:
+        out_path = os.path.join(model_path, "servable.biscuit")
+    hdr = json.dumps(header).encode()
+    tmp = f"{out_path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(_MAGIC)
+            f.write(len(hdr).to_bytes(8, "little"))
+            f.write(hdr)
+            f.write(blob)
+        os.replace(tmp, out_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return out_path
+
+
+def _read_container(path: str) -> Tuple[dict, bytes]:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a biscuit servable "
+                             f"(bad magic {magic!r})")
+        n = int.from_bytes(f.read(8), "little")
+        if n <= 0 or n > (1 << 20):
+            raise ValueError(f"{path}: implausible header length {n}")
+        header = json.loads(f.read(n))
+        if header.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: servable format {header.get('format_version')} "
+                f"not supported (this build reads {_FORMAT_VERSION})")
+        blob = f.read()
+    return header, blob
+
+
+class Servable:
+    """A deserialized UQ servable: ``(tiles) -> (probs_mean, uncertainty)``.
+
+    Keeps the ``UncertaintyInterface.__call__`` contract (any-n uint8 RGB
+    tile batch in, n rows out; internal key stream unless ``key=`` is
+    passed) over the exported static-batch program: partial batches are
+    zero-padded and the padding rows stripped. Use ``call_exact`` to skip
+    the padding layer when the caller already batches at the exported
+    size (the bench/serving hot loop).
+    """
+
+    def __init__(self, path: str):
+        self.header, blob = _read_container(path)
+        self._exported = jax.export.deserialize(bytearray(blob))
+        self._call = jax.jit(self._exported.call)
+        self.batch_size = int(self.header["batch_size"])
+        self.tile_px = int(self.header["tile_px"])
+        self.k = int(self.header["k"])
+        self._key = jax.random.PRNGKey(0)
+
+    @property
+    def platforms(self):
+        return tuple(self.header["platforms"])
+
+    def _next_key_data(self, key):
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        return jax.random.key_data(key)
+
+    def call_exact(self, tiles, key=None):
+        """Exact exported program: tiles must be (batch_size, px, px, 3)."""
+        tiles = jnp.asarray(tiles, jnp.uint8)
+        want = (self.batch_size, self.tile_px, self.tile_px, 3)
+        if tuple(tiles.shape) != want:
+            raise ValueError(
+                f"servable expects tiles of shape {want}, got "
+                f"{tuple(tiles.shape)}; use __call__ for any-n batches")
+        return self._call(tiles, self._next_key_data(key))
+
+    def __call__(self, tiles, key=None):
+        tiles = np.asarray(tiles)
+        if tiles.ndim == 3:
+            tiles = tiles[None]
+        n = tiles.shape[0]
+        b = self.batch_size
+        means, stds = [], []
+        for i in range(0, n, b):
+            chunk = tiles[i:i + b]
+            n_real = chunk.shape[0]
+            if n_real < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - n_real,) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+            m, s = self.call_exact(chunk, key=key)
+            # Distinct internal keys per chunk; an explicit key is the
+            # caller pinning determinism and applies to every chunk.
+            means.append(np.asarray(m)[:n_real])
+            stds.append(np.asarray(s)[:n_real])
+        return np.concatenate(means, axis=0), np.concatenate(stds, axis=0)
+
+
+def load_servable(path: str) -> Servable:
+    """Load a servable exported by :func:`export_servable`."""
+    return Servable(path)

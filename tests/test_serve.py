@@ -1,0 +1,182 @@
+"""Serialized AOT servables (biscuit_tpu/serve.py, jax.export roundtrip).
+
+CPU, tiny Xception. The servable bakes weights + preprocessing + the
+K-pass MC-dropout head into one StableHLO artifact; these tests pin the
+container format, numerical equivalence with the live inference path on
+the same key, the any-n padding contract, and the guard rails
+(multi-platform x fused validation, foreign-file rejection).
+
+Reference seam: the artifact replaces slideflow's per-process model
+reconstruction (/root/reference/results.py:234-257) — no counterpart
+exists there, so the contract under test is this repo's own
+(serve.py docstring)."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+from test_model_trainer import tiny_hp
+
+from biscuit_tpu import serve
+from biscuit_tpu.data.normalize import inference_preprocess, make_normalizer
+from biscuit_tpu.train.trainer import (
+    init_model,
+    load_checkpoint,
+    save_checkpoint,
+)
+from biscuit_tpu.train.uq import mc_dropout_predict
+from biscuit_tpu.models.xception import build_model
+
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    hp = tiny_hp(uq=True)
+    model = build_model(hp)
+    params, batch_stats = init_model(model, hp, jax.random.PRNGKey(3))
+    root = tmp_path_factory.mktemp("servable_model")
+    sub = save_checkpoint(str(root), params, batch_stats, hp, epoch=1,
+                          outcome="cohort", label="tiny", kfold=None)
+    return sub
+
+
+@pytest.fixture(scope="module")
+def artifact(model_dir):
+    return serve.export_servable(model_dir, batch_size=BATCH)
+
+
+def _tiles(n, px=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, px, px, 3), dtype=np.uint8)
+
+
+class TestContainer:
+    def test_header(self, artifact, model_dir):
+        sv = serve.load_servable(artifact)
+        h = sv.header
+        assert h["format_version"] == 1
+        assert h["arch"] == "xception_tiny"
+        assert h["batch_size"] == BATCH and sv.batch_size == BATCH
+        assert h["tile_px"] == 32
+        assert h["k"] == 8  # tiny_hp uq_samples
+        assert h["weights_blake2b"] == serve._weights_digest(model_dir)
+        assert "cpu" in sv.platforms
+
+    def test_default_output_path(self, artifact, model_dir):
+        assert artifact.endswith("servable.biscuit")
+        assert artifact.startswith(model_dir)
+
+    def test_rejects_foreign_file(self, tmp_path):
+        p = tmp_path / "not_a_servable.bin"
+        p.write_bytes(b"PK\x03\x04 definitely a zip")
+        with pytest.raises(ValueError, match="bad magic"):
+            serve.load_servable(str(p))
+
+    def test_rejects_future_format(self, artifact, tmp_path):
+        raw = open(artifact, "rb").read()
+        n = int.from_bytes(raw[len(serve._MAGIC):len(serve._MAGIC) + 8],
+                           "little")
+        hdr_at = len(serve._MAGIC) + 8
+        header = json.loads(raw[hdr_at:hdr_at + n])
+        header["format_version"] = 99
+        hdr = json.dumps(header).encode()
+        p = tmp_path / "future.biscuit"
+        p.write_bytes(serve._MAGIC + len(hdr).to_bytes(8, "little") + hdr
+                      + raw[hdr_at + n:])
+        with pytest.raises(ValueError, match="format 99"):
+            serve.load_servable(str(p))
+
+
+class TestNumerics:
+    def test_matches_live_inference(self, artifact, model_dir):
+        """The exported program reproduces the live path on the same key."""
+        model, params, batch_stats, hp, _ = load_checkpoint(model_dir)
+        normalizer = make_normalizer(hp.normalizer)
+        tiles = _tiles(BATCH)
+        key = jax.random.PRNGKey(42)
+        sv = serve.load_servable(artifact)
+        got_m, got_s = sv.call_exact(tiles, key=key)
+        x = inference_preprocess(jax.numpy.asarray(tiles), normalizer)
+        want_m, want_s = mc_dropout_predict(
+            model, params, batch_stats, x, key, k=hp.uq_samples)
+        # Same math, same key, but a different jit boundary: the exported
+        # program fuses differently than the live eager/jit path, so f32
+        # rounding drifts ~3e-5 through the 2-hidden-layer head (measured).
+        # The dropout masks ARE identical (same key/threefry) — a mask
+        # mismatch would show up as O(1) row differences, not 1e-5.
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=5e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=5e-4, atol=1e-4)
+
+    def test_probs_are_probs(self, artifact):
+        sv = serve.load_servable(artifact)
+        m, s = sv(_tiles(BATCH))
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+        assert (s >= 0).all()
+
+    def test_explicit_key_is_deterministic(self, artifact):
+        sv = serve.load_servable(artifact)
+        key = jax.random.PRNGKey(7)
+        a = sv(_tiles(BATCH), key=key)
+        b = sv(_tiles(BATCH), key=key)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    def test_internal_key_stream_advances(self, artifact):
+        sv = serve.load_servable(artifact)
+        tiles = _tiles(BATCH)
+        a = sv(tiles)
+        b = sv(tiles)
+        # Same tiles, fresh dropout keys: the MC std differs.
+        assert not np.array_equal(a[1], b[1])
+
+
+class TestPadding:
+    def test_partial_batch(self, artifact):
+        """Rows of a padded partial batch match the same rows computed
+        at full batch (per-tile independence: inference BN + per-image
+        standardization)."""
+        sv = serve.load_servable(artifact)
+        tiles = _tiles(BATCH)
+        key = jax.random.PRNGKey(11)
+        full_m, full_s = sv.call_exact(tiles, key=key)
+        part_m, part_s = sv(tiles[:5], key=key)
+        assert part_m.shape == (5, full_m.shape[1])
+        np.testing.assert_allclose(part_m, np.asarray(full_m)[:5],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(part_s, np.asarray(full_s)[:5],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_chunking_beyond_batch(self, artifact):
+        sv = serve.load_servable(artifact)
+        m, s = sv(_tiles(2 * BATCH + 3))
+        assert m.shape[0] == 2 * BATCH + 3 and s.shape[0] == 2 * BATCH + 3
+
+    def test_single_tile_rank3(self, artifact):
+        sv = serve.load_servable(artifact)
+        m, s = sv(_tiles(1)[0])
+        assert m.shape[0] == 1
+
+
+class TestGuards:
+    def test_multiplatform_requires_unfused(self, model_dir):
+        with pytest.raises(ValueError, match="use_fused=False"):
+            serve.export_servable(model_dir, batch_size=4,
+                                  platforms=("cpu", "tpu"))
+
+    def test_fused_requires_tpu_host(self, model_dir):
+        if jax.default_backend() == "tpu":
+            pytest.skip("fused export is legal on a TPU host")
+        with pytest.raises(ValueError, match="TPU host"):
+            serve.export_servable(model_dir, batch_size=4, use_fused=True)
+
+    def test_explicit_unfused_exports(self, model_dir, tmp_path):
+        p = serve.export_servable(model_dir, batch_size=4,
+                                  out_path=str(tmp_path / "s.biscuit"),
+                                  use_fused=False)
+        sv = serve.load_servable(p)
+        m, _ = sv(_tiles(4))
+        assert m.shape == (4, 2)
