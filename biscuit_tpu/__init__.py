@@ -27,6 +27,7 @@ _LAZY = {
     "parallel": ".parallel",
     "heatmap": ".heatmap",
     "Heatmap": ".heatmap",
+    "serve": ".serve",
 }
 
 

@@ -161,6 +161,48 @@ class TestPadding:
         assert m.shape[0] == 1
 
 
+@pytest.mark.tpu
+class TestServableTPU:
+    """Fused-kernel export on the real chip: the Mosaic custom calls
+    (`tpu_custom_call`) must survive serialize -> deserialize -> execute,
+    and the served numbers must match live fused inference."""
+
+    def test_fused_export_roundtrip_on_chip(self, tmp_path):
+        from biscuit_tpu.hp import nature2022_params
+
+        hp = nature2022_params()
+        model = build_model(hp)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params, batch_stats = init_model(model, hp,
+                                             jax.random.PRNGKey(0))
+        sub = save_checkpoint(str(tmp_path), params, batch_stats, hp,
+                              epoch=1, outcome="cohort", label="tpu",
+                              kfold=None)
+        path = serve.export_servable(sub, batch_size=64)
+
+        # The auto-gated artifact on a TPU host bakes the Pallas kernels.
+        _, blob = serve._read_container(path)
+        assert b"tpu_custom_call" in blob
+
+        sv = serve.load_servable(path)
+        assert "tpu" in sv.platforms
+        tiles = _tiles(64, px=hp.tile_px, seed=3)
+        key = jax.random.PRNGKey(17)
+        got_m, got_s = sv.call_exact(tiles, key=key)
+
+        model2, params2, batch_stats2, hp2, _ = load_checkpoint(sub)
+        x = inference_preprocess(jax.numpy.asarray(tiles),
+                                 make_normalizer(hp2.normalizer))
+        want_m, want_s = mc_dropout_predict(
+            model2, params2, batch_stats2, x, key, k=hp2.uq_samples)
+        # Same fused path, same key; bf16 trunk + fusion-boundary drift.
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=0.02, atol=0.02)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=0.05, atol=0.02)
+
+
 class TestGuards:
     def test_multiplatform_requires_unfused(self, model_dir):
         with pytest.raises(ValueError, match="use_fused=False"):
