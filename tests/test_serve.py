@@ -161,6 +161,31 @@ class TestPadding:
         assert m.shape[0] == 1
 
 
+class TestExportCLI:
+    def test_cli_exports_and_prints_path(self, model_dir, tmp_path):
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.export import main
+
+        out = str(tmp_path / "cli.biscuit")
+        r = CliRunner().invoke(
+            main, [model_dir, "-o", out, "-b", "4", "--no-fused"])
+        assert r.exit_code == 0, r.output
+        assert out in r.output
+        sv = serve.load_servable(out)
+        assert sv.batch_size == 4
+
+    def test_cli_rejects_multiplatform_fused(self, model_dir):
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.export import main
+
+        r = CliRunner().invoke(
+            main, [model_dir, "--platform", "cpu", "--platform", "tpu"])
+        assert r.exit_code != 0
+        assert isinstance(r.exception, ValueError)
+
+
 @pytest.mark.tpu
 class TestServableTPU:
     """Fused-kernel export on the real chip: the Mosaic custom calls
