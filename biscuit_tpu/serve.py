@@ -263,3 +263,109 @@ class Servable:
 def load_servable(path: str) -> Servable:
     """Load a servable exported by :func:`export_servable`."""
     return Servable(path)
+
+
+class ShardedServable:
+    """Data-parallel fan-out of a servable over a ``jax.sharding.Mesh``.
+
+    One single-device artifact (static per-device batch ``B``) serves
+    ``B x n_devices`` tiles per dispatch: the global batch is sharded over
+    the mesh's leading axis and the exported program becomes the
+    ``jax.shard_map`` body, running SPMD on every device. The program
+    contains no collectives — the only cross-device traffic is the
+    host->device scatter of the input batch — so serving scales linearly
+    over ICI, and the same artifact file deploys unchanged from one chip
+    to a full slice (no re-export per topology, unlike baking a mesh into
+    the exported program, which pins nr_devices at export time).
+
+    Per-shard dropout keys are ``fold_in(key, shard_index)``, so shards
+    draw independent MC-dropout mask streams; passing ``key=`` pins the
+    whole global batch deterministically.
+
+    Reference seam: the reference's serving loop
+    (/root/reference/results.py:234-257) is one GPU per process; scaling
+    means more processes each re-importing the stack. Here one process
+    drives the whole slice.
+    """
+
+    def __init__(self, path: str, mesh=None, axis: str = "data"):
+        import jax.sharding as jsh
+
+        self.header, blob = _read_container(path)
+        self._exported = jax.export.deserialize(bytearray(blob))
+        if mesh is None:
+            from .parallel.mesh import data_parallel_mesh
+
+            mesh = data_parallel_mesh(axis=axis)
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = int(mesh.shape[axis])
+        self.batch_size = int(self.header["batch_size"])  # per device
+        self.global_batch = self.batch_size * self.n_shards
+        self.tile_px = int(self.header["tile_px"])
+        self.k = int(self.header["k"])
+        self._key = jax.random.PRNGKey(0)
+
+        P = jsh.PartitionSpec
+        call = self._exported.call
+
+        def body(tiles_local, kd_local):
+            # tiles_local: (batch_size, px, px, 3) — this shard's slice of
+            # the global batch. kd_local: (1, *key_shape) — this shard's
+            # folded key.
+            return call(tiles_local, kd_local[0])
+
+        self._call = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+        ))
+
+    @property
+    def platforms(self):
+        return tuple(self.header["platforms"])
+
+    def _shard_key_data(self, key):
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        return jnp.stack([
+            jax.random.key_data(jax.random.fold_in(key, i))
+            for i in range(self.n_shards)
+        ])
+
+    def call_exact(self, tiles, key=None):
+        """Exact sharded program: tiles must be (global_batch, px, px, 3)."""
+        tiles = jnp.asarray(tiles, jnp.uint8)
+        want = (self.global_batch, self.tile_px, self.tile_px, 3)
+        if tuple(tiles.shape) != want:
+            raise ValueError(
+                f"sharded servable expects tiles of shape {want} "
+                f"({self.n_shards} shards x batch {self.batch_size}), got "
+                f"{tuple(tiles.shape)}; use __call__ for any-n batches")
+        return self._call(tiles, self._shard_key_data(key))
+
+    def __call__(self, tiles, key=None):
+        tiles = np.asarray(tiles)
+        if tiles.ndim == 3:
+            tiles = tiles[None]
+        n = tiles.shape[0]
+        b = self.global_batch
+        means, stds = [], []
+        for i in range(0, n, b):
+            chunk = tiles[i:i + b]
+            n_real = chunk.shape[0]
+            if n_real < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - n_real,) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+            m, s = self.call_exact(chunk, key=key)
+            means.append(np.asarray(m)[:n_real])
+            stds.append(np.asarray(s)[:n_real])
+        return np.concatenate(means, axis=0), np.concatenate(stds, axis=0)
+
+
+def load_sharded_servable(path: str, mesh=None,
+                          axis: str = "data") -> ShardedServable:
+    """Load a servable and fan it out data-parallel over ``mesh``
+    (default: a 1-D mesh over all local devices)."""
+    return ShardedServable(path, mesh=mesh, axis=axis)

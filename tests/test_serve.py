@@ -247,3 +247,71 @@ class TestGuards:
         sv = serve.load_servable(p)
         m, _ = sv(_tiles(4))
         assert m.shape == (4, 2)
+
+
+class TestSharded:
+    """Data-parallel fan-out (ShardedServable): one single-device artifact
+    served over the 8-device CPU mesh via shard_map. Pins the SPMD
+    decomposition against per-shard single-device calls, the fold_in key
+    schedule, and the any-n contract at global-batch granularity."""
+
+    @pytest.fixture(scope="class")
+    def sharded(self, artifact):
+        sv = serve.load_sharded_servable(artifact)
+        assert sv.n_shards == len(jax.devices())
+        return sv
+
+    def test_matches_per_shard_single_device_calls(self, sharded, artifact):
+        """Row block i of the sharded call == a single-device call on that
+        block with key fold_in(key, i): the mesh changes WHERE each shard
+        runs, not what it computes."""
+        single = serve.load_servable(artifact)
+        n = sharded.global_batch
+        tiles = _tiles(n, seed=3)
+        key = jax.random.PRNGKey(21)
+        got_m, got_s = sharded.call_exact(tiles, key=key)
+        got_m, got_s = np.asarray(got_m), np.asarray(got_s)
+        b = sharded.batch_size
+        for i in range(sharded.n_shards):
+            want_m, want_s = single.call_exact(
+                tiles[i * b:(i + 1) * b], key=jax.random.fold_in(key, i))
+            np.testing.assert_allclose(got_m[i * b:(i + 1) * b],
+                                       np.asarray(want_m),
+                                       rtol=2e-5, atol=1e-6)
+            np.testing.assert_allclose(got_s[i * b:(i + 1) * b],
+                                       np.asarray(want_s),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_shards_draw_independent_dropout_masks(self, sharded):
+        """The SAME tile replicated across every shard must get different
+        MC stds per shard — fold_in gives each shard its own mask stream
+        (identical keys would silently correlate the K samples fleet-wide)."""
+        one = _tiles(1, seed=5)[0]
+        tiles = np.broadcast_to(one, (sharded.global_batch,) + one.shape)
+        _, s = sharded.call_exact(tiles, key=jax.random.PRNGKey(2))
+        s = np.asarray(s)
+        b = sharded.batch_size
+        # First row of each shard: same input, different key stream.
+        firsts = s[::b]
+        assert len(np.unique(firsts)) > 1
+
+    def test_any_n_and_determinism(self, sharded):
+        n = sharded.global_batch + 5
+        tiles = _tiles(n, seed=7)
+        key = jax.random.PRNGKey(9)
+        m1, s1 = sharded(tiles, key=key)
+        m2, s2 = sharded(tiles, key=key)
+        assert m1.shape == (n, 2) and s1.shape[0] == n
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_allclose(m1.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_wrong_shape_raises(self, sharded):
+        with pytest.raises(ValueError, match="sharded servable expects"):
+            sharded.call_exact(_tiles(sharded.global_batch - 1))
+
+    def test_internal_key_stream_advances(self, sharded):
+        tiles = _tiles(sharded.global_batch, seed=11)
+        a = sharded.call_exact(tiles)
+        b = sharded.call_exact(tiles)
+        assert not np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
