@@ -1,0 +1,122 @@
+"""Servable batch-scoring CLI: artifact + tfrecords -> predictions CSV.
+
+Completes the deployment loop of :mod:`biscuit_tpu.serve`: score a tile
+corpus anywhere with ONLY the artifact file — no Flax, no checkpoint, no
+model code — and get back the reference's tile-prediction contract
+(slide, loc_x, loc_y, {outcome}_y_true0/_y_pred{i}/_uncertainty{i} —
+reference experiment.py:694-698), so the frames feed straight into
+`threshold.from_cv/apply` and the rest of the stats pipeline. The
+reference has no counterpart: its scoring loop re-imports the full
+slideflow/TF stack per process (/root/reference/results.py:234-257).
+
+    python -m biscuit_tpu.cli.predict ARTIFACT tiles/*.tfrecords -o out.csv
+
+With more than one local device the artifact is fanned out data-parallel
+over the mesh (serve.ShardedServable) unless --no-sharded is passed.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from glob import glob
+
+import click
+
+from ..utils_log import log
+
+
+def _expand(paths):
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(glob(os.path.join(p, "*.tfrecords"))))
+        else:
+            out.append(p)
+    if not out:
+        raise click.UsageError("no tfrecords found")
+    return out
+
+
+def _labels_from_annotations(annotations, outcome):
+    """slide -> int label with the Dataset.labels convention (sorted unique
+    outcome values -> stable class index; dataset.py:83-98)."""
+    import pandas as pd
+
+    df = pd.read_csv(annotations)
+    if "slide" not in df.columns or outcome not in df.columns:
+        raise click.UsageError(
+            f"annotations must have 'slide' and {outcome!r} columns")
+    sub = df[["slide", outcome]].dropna()
+    unique = sorted(sub[outcome].unique().tolist())
+    index = {name: i for i, name in enumerate(unique)}
+    return {s: index[v] for s, v in zip(sub["slide"], sub[outcome])}, unique
+
+
+@click.command()
+@click.argument("artifact")
+@click.argument("tfrecords", nargs=-1, required=True)
+@click.option("-o", "--out", default="tile_predictions.csv",
+              show_default=True, help="Output CSV (or .parquet.gzip with "
+                                      "--parquet).")
+@click.option("--annotations", default=None,
+              help="Annotations CSV supplying y_true (slide + outcome "
+                   "columns); without it y_true0 is -1.")
+@click.option("--outcome", default="cohort", show_default=True,
+              help="Outcome name (column prefix + annotations column).")
+@click.option("--sharded/--no-sharded", default=None,
+              help="Fan the artifact over all local devices (default: "
+                   "sharded when more than one device is visible).")
+@click.option("--max-tiles", default=None, type=int,
+              help="Per-tfrecord tile cap.")
+@click.option("--seed", default=None, type=int,
+              help="PRNG seed pinning the MC-dropout streams "
+                   "(deterministic re-runs); default: fresh streams.")
+@click.option("--parquet", is_flag=True,
+              help="Write parquet.gzip instead of CSV (the slideflow 1.2 "
+                   "variant the reference also reads).")
+def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
+         seed, parquet):
+    """Score TFRECORDS (files or directories of {slide}.tfrecords) with
+    ARTIFACT and write a reference-contract tile predictions frame."""
+    import jax
+
+    from ..serve import (
+        load_servable,
+        load_sharded_servable,
+        predict_tfrecords,
+    )
+
+    paths = _expand(tfrecords)
+    labels = {}
+    if annotations is not None:
+        labels, unique = _labels_from_annotations(annotations, outcome)
+        log.info(f"labels: {unique} from {annotations}")
+
+    if sharded is None:
+        sharded = len(jax.devices()) > 1
+    sv = (load_sharded_servable(artifact) if sharded
+          else load_servable(artifact))
+    step = getattr(sv, "global_batch", sv.batch_size)
+    log.info(
+        f"{'sharded ' if sharded else ''}servable: {sv.tile_px}px, "
+        f"K={sv.k}, {step} tiles/dispatch, platforms={sv.platforms}")
+
+    key = None if seed is None else jax.random.PRNGKey(seed)
+    t0 = time.perf_counter()
+    df = predict_tfrecords(sv, paths, labels=labels, outcome=outcome,
+                           max_tiles=max_tiles, key=key)
+    dt = time.perf_counter() - t0
+    if parquet:
+        if not out.endswith(".parquet.gzip"):
+            out = out.rsplit(".csv", 1)[0] + ".parquet.gzip"
+        df.to_parquet(out, compression="gzip")
+    else:
+        df.to_csv(out, index=False)
+    log.info(f"{len(df)} tiles from {len(paths)} slides in {dt:.1f}s "
+             f"({len(df) / max(dt, 1e-9):.0f} tiles/s incl. host decode)")
+    click.echo(out)
+
+
+if __name__ == "__main__":
+    main()

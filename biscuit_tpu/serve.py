@@ -369,3 +369,68 @@ def load_sharded_servable(path: str, mesh=None,
     """Load a servable and fan it out data-parallel over ``mesh``
     (default: a 1-D mesh over all local devices)."""
     return ShardedServable(path, mesh=mesh, axis=axis)
+
+
+def predict_tfrecords(servable, tfrecords, labels=None, outcome="cohort",
+                      max_tiles=None, key=None):
+    """Score tile tfrecords with a (sharded) servable -> tile predictions
+    DataFrame in the reference on-disk contract (slide, loc_x, loc_y,
+    ``{outcome}_y_true0``, ``{outcome}_y_pred{i}``,
+    ``{outcome}_uncertainty{i}`` — reference experiment.py:694-698).
+
+    The serving-side twin of ``trainer.predict_tiles``: same columns, same
+    prefetch-fed native batch reader, but driven through an exported
+    artifact — no Flax, no checkpoint parsing, no model code. Accepts a
+    :class:`Servable` or a :class:`ShardedServable` (the latter scores
+    ``batch_size x n_devices`` tiles per dispatch across the mesh).
+
+    Args:
+        servable: a loaded servable (``load_servable`` /
+            ``load_sharded_servable``).
+        tfrecords: per-slide ``{slide}.tfrecords`` paths.
+        labels: optional slide -> int label map; unknown slides get -1 in
+            ``{outcome}_y_true0`` (the contract tolerates unlabeled tiles).
+        outcome: outcome name for the column prefix.
+        max_tiles: per-tfrecord cap (reference ``max_tiles`` semantics).
+        key: optional PRNG key pinning the MC-dropout streams; default is
+            the servable's internal advancing key stream.
+    """
+    import pandas as pd
+
+    from .data.pipeline import PrefetchBatcher, TileBatcher
+    from .utils import tile_predictions_frame
+
+    step = int(getattr(servable, "global_batch", servable.batch_size))
+    batcher = PrefetchBatcher(
+        TileBatcher(
+            list(tfrecords), labels or {}, batch_size=step, shuffle=False,
+            infinite=False, max_tiles=max_tiles, tile_px=servable.tile_px,
+        ),
+        depth=3,
+    )
+    rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
+    probs_all, unc_all = [], []
+    try:
+        for batch in batcher:
+            if key is not None:
+                key, sub = jax.random.split(key)
+            else:
+                sub = None
+            # TileBatcher pads the final partial batch to the static step
+            # size, so the exact exported program runs every time; the
+            # mask strips padding rows here.
+            m_probs, m_unc = servable.call_exact(batch["image"], key=sub)
+            mask = np.asarray(batch["mask"])
+            probs_all.append(np.asarray(m_probs)[mask])
+            unc_all.append(np.asarray(m_unc)[mask])
+            for i in np.where(mask)[0]:
+                rows["slide"].append(batch["slide"][i])
+                rows["loc_x"].append(int(batch["loc"][i, 0]))
+                rows["loc_y"].append(int(batch["loc"][i, 1]))
+                rows["y_true"].append(int(batch["label"][i]))
+    finally:
+        batcher.close()
+    probs = (np.concatenate(probs_all) if probs_all
+             else np.zeros((0, 2), np.float32))
+    unc = np.concatenate(unc_all) if unc_all else None
+    return tile_predictions_frame(outcome, pd.DataFrame(rows), probs, unc)

@@ -42,6 +42,10 @@ from ..hp import ModelParams
 from ..models.xception import build_model
 from ..parallel.mesh import batch_sharding, data_parallel_mesh, replicated
 from ..stats.roc import auc_score, average_precision
+# tile_predictions_frame moved to utils (the serving path writes the same
+# contract without importing the training stack); re-exported here for its
+# established import sites (gan.py, evaluate.py).
+from ..utils import tile_predictions_frame  # noqa: F401
 from ..utils_log import log
 from .splits import kfold_split, train_val_slides
 
@@ -377,19 +381,6 @@ def _write_predictions(df, path_base: str, fmt) -> None:
     else:
         df.to_csv(path_base + ".csv", index=False)
 
-def tile_predictions_frame(outcome, df, probs, unc) -> pd.DataFrame:
-    """Assemble the tile_predictions CSV columns
-    ({outcome}_y_true0, {outcome}_y_pred{i}, {outcome}_uncertainty{i} —
-    experiment.py:694-698, utils.py:19-28)."""
-    out = pd.DataFrame({"slide": df["slide"],
-                        "loc_x": df["loc_x"], "loc_y": df["loc_y"]})
-    out[f"{outcome}_y_true0"] = df["y_true"]
-    for c in range(probs.shape[1]):
-        out[f"{outcome}_y_pred{c}"] = probs[:, c]
-    if unc is not None:
-        for c in range(unc.shape[1]):
-            out[f"{outcome}_uncertainty{c}"] = unc[:, c]
-    return out
 
 
 def group_predictions_frame(tile_df, probs, patients: Dict[str, str],

@@ -51,6 +51,23 @@ def y_pred_header(outcome, underscore=False):
     return str(outcome) + ("_" if underscore else "-") + "y_pred1"
 
 
+def tile_predictions_frame(outcome, df, probs, unc) -> pd.DataFrame:
+    """Assemble the tile_predictions CSV columns
+    ({outcome}_y_true0, {outcome}_y_pred{i}, {outcome}_uncertainty{i} —
+    reference experiment.py:694-698, utils.py:19-28). Shared by the
+    trainer, the eval engine, the GAN scorer, and servable batch scoring
+    (serve.predict_tfrecords)."""
+    out = pd.DataFrame({"slide": df["slide"],
+                        "loc_x": df["loc_x"], "loc_y": df["loc_y"]})
+    out[f"{outcome}_y_true0"] = df["y_true"]
+    for c in range(probs.shape[1]):
+        out[f"{outcome}_y_pred{c}"] = probs[:, c]
+    if unc is not None:
+        for c in range(unc.shape[1]):
+            out[f"{outcome}_uncertainty{c}"] = unc[:, c]
+    return out
+
+
 def rename_cols(df, outcome, *, y_true=None, y_pred=None, uncertainty=None):
     """Rename outcome-prefixed prediction columns to canonical names, in
     place. Supports both dash and underscore separators (utils.py:31-53)."""
