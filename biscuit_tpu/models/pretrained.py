@@ -295,3 +295,64 @@ def load_pretrained(params, batch_stats, path: str, arch: str = "xception"):
     return convert_keras_xception(
         read_keras_weights(path), params, batch_stats, arch=arch
     )
+
+
+def convert_keras_head(keras_weights: Dict[str, Dict[str, np.ndarray]],
+                       params):
+    """Map the Dense head of a FULL Keras model export onto
+    ``params['head']`` (``hidden{i}`` + ``logits``).
+
+    The published pretrained model (the reference README points to
+    huggingface.co/jamesdolezal/lung-adeno-squam-v1) is a slideflow
+    tf.keras model: the Xception trunk plus Dense hidden layers and a
+    Dense logits layer. slideflow's head layer NAMES are
+    version-dependent (unnamed Dense layers get Keras auto-names like
+    ``dense``/``dense_1``), so matching is STRUCTURAL: the file's Dense
+    layers — exactly a 2-D ``kernel`` plus ``bias`` — are taken in file
+    order (``Model.save_weights``/the README export snippet both preserve
+    graph order) as ``hidden0..hiddenN-1`` then ``logits``, every shape
+    validated against the freshly initialized templates, so a
+    wrong-width or wrong-count export fails loudly instead of loading
+    sideways.
+    """
+    dense = [
+        (name, arrays) for name, arrays in keras_weights.items()
+        if {"kernel", "bias"} <= set(arrays)
+        and np.asarray(arrays["kernel"]).ndim == 2
+    ]
+    params = unfreeze(params)
+    head = params["head"]
+    want = [f"hidden{i}" for i in range(len(head) - 1)] + ["logits"]
+    if sorted(head) != sorted(want):
+        raise ValueError(f"unexpected head modules {sorted(head)} "
+                         f"(expected {want})")
+    if len(dense) != len(want):
+        raise ValueError(
+            f"full-model export has {len(dense)} Dense layers "
+            f"({[n for n, _ in dense]}) but the head needs {len(want)} "
+            f"({want}); check hidden_layers/--hidden-width against the "
+            "exported model")
+    problems: list = []
+    for flax_name, (keras_name, arrays) in zip(want, dense):
+        kernel, bias = _take(arrays, keras_name, "kernel", "bias")
+        _assign(head, (flax_name, "kernel"), kernel, problems, keras_name)
+        _assign(head, (flax_name, "bias"), bias, problems, keras_name)
+    if problems:
+        raise ValueError(
+            "Keras->Flax head conversion failed "
+            f"({len(problems)} problems):\n  " + "\n  ".join(problems))
+    return freeze(params)
+
+
+def load_pretrained_full(params, batch_stats, path: str,
+                         arch: str = "xception"):
+    """Graft a FULL model export (trunk + hidden head + logits) onto
+    freshly initialized trees: the switchover path for reference users
+    bringing the published trained model (or any slideflow lung model)
+    to TPU serving. See :func:`convert_keras_head` for the head-matching
+    contract; the trunk follows the ImageNet converter exactly."""
+    kw = read_keras_weights(path)
+    params, batch_stats = convert_keras_xception(
+        kw, params, batch_stats, arch=arch)
+    params = convert_keras_head(kw, params)
+    return params, batch_stats
