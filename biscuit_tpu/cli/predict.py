@@ -26,15 +26,21 @@ import click
 from ..utils_log import log
 
 
-def _expand(paths):
+_SLIDE_EXTS = (".svs", ".tif", ".tiff", ".png", ".jpg", ".jpeg")
+
+
+def _expand(paths, slides=False):
+    pats = _SLIDE_EXTS if slides else (".tfrecords",)
     out = []
     for p in paths:
         if os.path.isdir(p):
-            out.extend(sorted(glob(os.path.join(p, "*.tfrecords"))))
+            for ext in pats:
+                out.extend(sorted(glob(os.path.join(p, f"*{ext}"))))
         else:
             out.append(p)
     if not out:
-        raise click.UsageError("no tfrecords found")
+        raise click.UsageError(
+            f"no {'slides' if slides else 'tfrecords'} found")
     return out
 
 
@@ -75,21 +81,37 @@ def _labels_from_annotations(annotations, outcome):
 @click.option("--parquet", is_flag=True,
               help="Write parquet.gzip instead of CSV (the slideflow 1.2 "
                    "variant the reference also reads).")
+@click.option("--slides", is_flag=True,
+              help="Inputs are whole-slide images (.svs/.tif/...), scored "
+                   "directly off the tile grid — no extraction step.")
+@click.option("--tile-um", default=None, type=int,
+              help="Tile microns for --slides (default: the artifact's).")
+@click.option("--mpp", default=None, type=float,
+              help="Microns/pixel override for --slides inputs without "
+                   "resolution metadata (plain PNG/JPEG).")
+@click.option("--qc", default="both", show_default=True,
+              help="--slides tile QC: both|otsu|blur|none.")
 def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
-         seed, parquet):
-    """Score TFRECORDS (files or directories of {slide}.tfrecords) with
-    ARTIFACT and write a reference-contract tile predictions frame."""
+         seed, parquet, slides, tile_um, mpp, qc):
+    """Score TFRECORDS (files or directories of {slide}.tfrecords — or
+    slide images with --slides) with ARTIFACT and write a
+    reference-contract tile predictions frame."""
     import jax
 
     from ..serve import (
         load_servable,
         load_sharded_servable,
+        predict_slides,
         predict_tfrecords,
     )
 
-    paths = _expand(tfrecords)
+    paths = _expand(tfrecords, slides=slides)
     labels = {}
     if annotations is not None:
+        if slides:
+            raise click.UsageError(
+                "--annotations applies to tfrecord scoring (slides carry "
+                "no tile labels)")
         labels, unique = _labels_from_annotations(annotations, outcome)
         log.info(f"labels: {unique} from {annotations}")
 
@@ -104,8 +126,13 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
 
     key = None if seed is None else jax.random.PRNGKey(seed)
     t0 = time.perf_counter()
-    df = predict_tfrecords(sv, paths, labels=labels, outcome=outcome,
-                           max_tiles=max_tiles, key=key)
+    if slides:
+        df = predict_slides(sv, paths, tile_um=tile_um, mpp=mpp,
+                            qc=None if qc == "none" else qc,
+                            outcome=outcome, key=key)
+    else:
+        df = predict_tfrecords(sv, paths, labels=labels, outcome=outcome,
+                               max_tiles=max_tiles, key=key)
     dt = time.perf_counter() - t0
     if parquet:
         if not out.endswith(".parquet.gzip"):

@@ -151,6 +151,7 @@ def export_servable(
         "format_version": _FORMAT_VERSION,
         "arch": model.arch,
         "tile_px": hp.tile_px,
+        "tile_um": hp.tile_um,
         "batch_size": batch_size,
         "k": k,
         "normalizer": hp.normalizer,
@@ -216,6 +217,9 @@ class Servable:
         self._call = jax.jit(self._exported.call)
         self.batch_size = int(self.header["batch_size"])
         self.tile_px = int(self.header["tile_px"])
+        # .get: tile_um joined the header after the first exports; older
+        # artifacts fall back to the caller supplying it (predict_slides).
+        self.tile_um = self.header.get("tile_um")
         self.k = int(self.header["k"])
         self._key = jax.random.PRNGKey(0)
 
@@ -303,6 +307,7 @@ class ShardedServable:
         self.batch_size = int(self.header["batch_size"])  # per device
         self.global_batch = self.batch_size * self.n_shards
         self.tile_px = int(self.header["tile_px"])
+        self.tile_um = self.header.get("tile_um")
         self.k = int(self.header["k"])
         self._key = jax.random.PRNGKey(0)
 
@@ -430,6 +435,82 @@ def predict_tfrecords(servable, tfrecords, labels=None, outcome="cohort",
                 rows["y_true"].append(int(batch["label"][i]))
     finally:
         batcher.close()
+    probs = (np.concatenate(probs_all) if probs_all
+             else np.zeros((0, 2), np.float32))
+    unc = np.concatenate(unc_all) if unc_all else None
+    return tile_predictions_frame(outcome, pd.DataFrame(rows), probs, unc)
+
+
+def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
+                   stride_div=1, roi_method="ignore", outcome="cohort",
+                   key=None):
+    """Score whole-slide images DIRECTLY with a (sharded) servable — no
+    extraction step, no tfrecords: the reference's per-tile UQ inference
+    loop (/root/reference/results.py:234-257: sf.WSI -> build_generator ->
+    UncertaintyInterface per tile) as a deployment path. Returns the same
+    tile-prediction frame as :func:`predict_tfrecords` with grid (i, j)
+    in loc_x/loc_y and ``y_true0 = -1`` (slides carry no labels).
+
+    Args:
+        slides: WSI paths (.svs/.tif via the native tiled reader, or any
+            PIL-readable image).
+        tile_um: tile size in microns (default: the artifact's — exports
+            record it; required for pre-tile_um artifacts).
+        mpp: microns per pixel override for containers without metadata
+            (plain PNG/JPEG slides).
+        qc: 'both' (Otsu + blur, the reference extraction default),
+            'otsu', 'blur', or None.
+        stride_div: grid stride divisor (sf.Heatmap's knob).
+    """
+    import pandas as pd
+
+    from .data.slide import WSI
+    from .utils import tile_predictions_frame
+
+    tile_um = tile_um if tile_um is not None else servable.tile_um
+    if tile_um is None:
+        raise ValueError(
+            "this artifact predates tile_um in the servable header; pass "
+            "tile_um= explicitly")
+    step = int(getattr(servable, "global_batch", servable.batch_size))
+    rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
+    probs_all, unc_all = [], []
+
+    def flush(imgs, locs, slide_name):
+        nonlocal key
+        n_real = len(imgs)
+        if not n_real:
+            return
+        batch = np.stack(imgs)
+        if n_real < step:
+            batch = np.concatenate(
+                [batch, np.zeros((step - n_real,) + batch.shape[1:],
+                                 batch.dtype)])
+        if key is not None:
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        m_probs, m_unc = servable.call_exact(batch, key=sub)
+        probs_all.append(np.asarray(m_probs)[:n_real])
+        unc_all.append(np.asarray(m_unc)[:n_real])
+        for i in range(n_real):
+            rows["slide"].append(slide_name)
+            rows["loc_x"].append(int(locs[i][0]))
+            rows["loc_y"].append(int(locs[i][1]))
+            rows["y_true"].append(-1)
+
+    for path in slides:
+        wsi = WSI(path, tile_px=servable.tile_px, tile_um=tile_um, mpp=mpp,
+                  qc=qc, stride_div=stride_div, roi_method=roi_method)
+        imgs, locs = [], []
+        for item in wsi.build_generator(shuffle=False, include_loc="grid")():
+            imgs.append(item["image"])
+            locs.append(item["loc"])
+            if len(imgs) == step:
+                flush(imgs, locs, wsi.name)
+                imgs, locs = [], []
+        flush(imgs, locs, wsi.name)
+
     probs = (np.concatenate(probs_all) if probs_all
              else np.zeros((0, 2), np.float32))
     unc = np.concatenate(unc_all) if unc_all else None

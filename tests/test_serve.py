@@ -227,6 +227,47 @@ class TestServableTPU:
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                    rtol=0.05, atol=0.02)
 
+    def test_fused_artifact_under_shard_map_on_chip(self, tmp_path):
+        """The Mosaic custom calls (fused preprocess/middle/head) must
+        execute when the exported program is the shard_map body — the
+        ShardedServable path on real hardware. One chip = a 1-device
+        mesh: that already drives the whole jit -> shard_map ->
+        call_exported -> tpu_custom_call lowering chain (multi-device
+        adds only the batch scatter; the per-device program is
+        identical), which interpret-mode CPU runs cannot reach
+        (io_callback kernels aren't partitionable — DEPLOYMENT.md)."""
+        from jax.sharding import Mesh
+
+        from biscuit_tpu.hp import nature2022_params
+
+        hp = nature2022_params()
+        hp.uq_samples = 8  # keep the chip roundtrip cheap
+        model = build_model(hp)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params, batch_stats = init_model(model, hp,
+                                             jax.random.PRNGKey(0))
+        sub = save_checkpoint(str(tmp_path), params, batch_stats, hp,
+                              epoch=1, outcome="cohort", label="tpush",
+                              kfold=None)
+        path = serve.export_servable(sub, batch_size=32)
+
+        mesh = Mesh(np.asarray(jax.devices("tpu")[:1]), ("data",))
+        ssv = serve.ShardedServable(path, mesh=mesh)
+        assert ssv.n_shards == 1 and ssv.global_batch == 32
+        tiles = _tiles(32, px=hp.tile_px, seed=5)
+        key = jax.random.PRNGKey(23)
+        got_m, got_s = ssv.call_exact(tiles, key=key)
+
+        # Shard 0 of the sharded program == the plain servable on
+        # fold_in(key, 0): the mesh wrapper must not change the math.
+        sv = serve.load_servable(path)
+        want_m, want_s = sv.call_exact(tiles, key=jax.random.fold_in(key, 0))
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=2e-5, atol=1e-6)
+
 
 class TestGuards:
     def test_multiplatform_requires_unfused(self, model_dir):
@@ -409,3 +450,56 @@ class TestPredict:
             "--seed", "1"])
         assert r2.exit_code == 0, r2.output
         pd.testing.assert_frame_equal(df, pd.read_csv(out2))
+
+
+class TestPredictSlides:
+    """Direct-WSI scoring (serve.predict_slides): the reference Fig-5
+    per-tile loop (results.py:234-257) driven through the artifact."""
+
+    @pytest.fixture(scope="class")
+    def slide(self, tmp_path_factory):
+        from test_wsi_heatmap import make_slide_image
+
+        p = str(tmp_path_factory.mktemp("wsi") / "slideA.png")
+        make_slide_image(p)
+        return p
+
+    def test_matches_by_hand_generator(self, artifact, slide):
+        from biscuit_tpu.data.slide import WSI
+
+        sv = serve.load_servable(artifact)
+        assert sv.tile_um == 32  # header records tile_um now
+        key = jax.random.PRNGKey(13)
+        df = serve.predict_slides(sv, [slide], mpp=1.0, qc=None, key=key)
+        assert len(df) == 64  # 256px slide / 32px grid, no QC
+        assert (df.cohort_y_true0 == -1).all()
+        assert df.slide.unique().tolist() == ["slideA"]
+        # First batch by hand: same tiles, same key schedule.
+        gen = WSI(slide, tile_px=32, tile_um=32, mpp=1.0).build_generator(
+            include_loc="grid")
+        tiles = [t["image"] for t in gen()][:BATCH]
+        k1 = jax.random.split(key)[1]
+        want_m, _ = sv.call_exact(np.stack(tiles), key=k1)
+        np.testing.assert_allclose(
+            df.cohort_y_pred1.to_numpy()[:BATCH],
+            np.asarray(want_m)[:, 1], rtol=1e-5, atol=1e-6)
+
+    def test_qc_drops_background(self, artifact, slide):
+        sv = serve.load_servable(artifact)
+        df = serve.predict_slides(sv, [slide], mpp=1.0, qc="both")
+        assert 0 < len(df) < 64
+
+    def test_cli_slides_mode(self, artifact, slide, tmp_path):
+        import pandas as pd
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.predict import main
+
+        out = str(tmp_path / "wsi_preds.csv")
+        r = CliRunner().invoke(main, [
+            artifact, slide, "--slides", "--mpp", "1.0", "--qc", "none",
+            "-o", out, "--no-sharded"])
+        assert r.exit_code == 0, r.output
+        df = pd.read_csv(out)
+        assert len(df) == 64
+        assert np.isfinite(df.cohort_y_pred1).all()
