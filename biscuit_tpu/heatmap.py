@@ -23,6 +23,31 @@ from .data.slide import WSI
 from .utils_log import log
 
 
+def _load_interface(model: str, k: Optional[int]):
+    """(callable, tile_px, tile_um) from a model dir OR a servable
+    artifact (*.biscuit). Both expose the UncertaintyInterface call
+    contract ``(tiles, key=) -> (probs, uncertainty)``, so grid inference
+    is source-agnostic: heatmaps and Figure-5 tile export run on serving
+    fleets holding only the exported artifact."""
+    if model.endswith(".biscuit"):
+        from .serve import load_servable
+
+        sv = load_servable(model)
+        if k is not None and k != sv.k:
+            raise ValueError(
+                f"k={k} requested but the artifact bakes K={sv.k}; "
+                "re-export with the wanted k")
+        if sv.tile_um is None:
+            raise ValueError(
+                "artifact predates tile_um in the servable header; "
+                "re-export it (or use a model dir)")
+        return sv, sv.tile_px, sv.tile_um
+    from .train.uq import UncertaintyInterface
+
+    interface = UncertaintyInterface(model, k=k)
+    return interface, interface.hp.tile_px, interface.hp.tile_um
+
+
 def export_tiles_by_uncertainty(
     slide: str,
     model: str,
@@ -47,11 +72,8 @@ def export_tiles_by_uncertainty(
     import jax
     from PIL import Image
 
-    from .train.uq import UncertaintyInterface
-
-    interface = UncertaintyInterface(model, k=k)
-    hp = interface.hp
-    wsi = WSI(slide, hp.tile_px, hp.tile_um, qc=qc)
+    interface, tile_px, tile_um = _load_interface(model, k)
+    wsi = WSI(slide, tile_px, tile_um, qc=qc)
     incl_dir = os.path.join(outdir, "uq_incl")
     excl_dir = os.path.join(outdir, "uq_excl")
     os.makedirs(incl_dir, exist_ok=True)
@@ -112,17 +134,16 @@ class Heatmap:
 
         Args:
             slide: path to the whole-slide image.
-            model: path to a saved `..._epoch{E}` model dir.
+            model: path to a saved `..._epoch{E}` model dir, or an
+                exported servable artifact (``*.biscuit`` — serving
+                fleets need no checkpoint).
             stride_div: grid stride divisor (1 = non-overlapping).
         """
         import jax
 
-        from .train.uq import UncertaintyInterface
-
-        self.interface = UncertaintyInterface(model, k=k)
-        hp = self.interface.hp
+        self.interface, tile_px, tile_um = _load_interface(model, k)
         self.wsi = WSI(
-            slide, hp.tile_px, hp.tile_um, stride_div=stride_div, qc=qc
+            slide, tile_px, tile_um, stride_div=stride_div, qc=qc
         )
         gx, gy = self.wsi.grid_x, self.wsi.grid_y
         n_classes = 2

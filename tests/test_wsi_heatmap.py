@@ -168,6 +168,30 @@ class TestHeatmap:
             join(str(tmp_path / "out"), "hs-uncertainty.png")
         )
 
+    def test_heatmap_from_servable_matches_checkpoint(self, tiny_saved_model,
+                                                      tmp_path):
+        """A *.biscuit artifact drives the same grid as the checkpoint it
+        was exported from (serving fleets heatmap without model code)."""
+        from biscuit_tpu import serve
+        from biscuit_tpu.heatmap import Heatmap
+
+        P, model_path, tmp = tiny_saved_model
+        slide_path = str(tmp_path / "hs3.png")
+        make_slide_image(slide_path, size=128, seed=5)
+        art = serve.export_servable(
+            model_path, out_path=str(tmp_path / "hm.biscuit"),
+            batch_size=16)
+        hm_a = Heatmap(slide_path, art, batch_size=16)
+        hm_m = Heatmap(slide_path, model_path, batch_size=16)
+        # Same PRNGKey(0) schedule both paths; exported-vs-live jit
+        # boundaries drift ~1e-4 (test_serve.py measured).
+        np.testing.assert_allclose(hm_a.logits, hm_m.logits,
+                                   rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(hm_a.uncertainty, hm_m.uncertainty,
+                                   rtol=5e-3, atol=5e-4)
+        with pytest.raises(ValueError, match="bakes K="):
+            Heatmap(slide_path, art, k=3)
+
     def test_uq_masking_workflow(self, tiny_saved_model, tmp_path):
         # The Figure-5 masking idiom (results.py:222-227) works on our arrays.
         from biscuit_tpu.heatmap import Heatmap
