@@ -66,8 +66,13 @@ def main():
             t_dev.append(time.perf_counter() - t0)
             for k in ("tile_uq", "slide_uq", "tile_pred", "slide_pred"):
                 hv, dv = h[0][k], d[0][k]
-                assert (hv is None and dv is None) or hv == dv \
-                    or abs(hv - dv) <= 1e-6, (n, k, hv, dv)
+                if hv is None or dv is None:
+                    # Both-None is the degenerate-fold agreement case; a
+                    # one-sided None is a parity failure — report it
+                    # rather than TypeError on None arithmetic.
+                    assert hv is None and dv is None, (n, k, hv, dv)
+                else:
+                    assert hv == dv or abs(hv - dv) <= 1e-6, (n, k, hv, dv)
         th_ms, td_ms = min(t_host) * 1e3, min(t_dev) * 1e3
         rows.append((n, th_ms, td_ms))
         print(f"n={n:>9,}  host {th_ms:9.1f} ms   device(warm e2e) "

@@ -27,8 +27,8 @@ from ..utils_log import log
               help="MC-dropout samples (default: the model's hp.uq_samples).")
 @click.option("--platform", "platforms", multiple=True,
               help="Lowering platform(s), e.g. --platform tpu --platform "
-                   "cpu. Default: the exporting host's backend. More than "
-                   "one requires --no-fused.")
+                   "cpu. Default: the exporting host's backend. Non-TPU "
+                   "platforms require --no-fused on a TPU host.")
 @click.option("--fused/--no-fused", "use_fused", default=None,
               help="Bake the fused Pallas TPU kernels (default: auto — "
                    "fused when exporting on a TPU host). --no-fused "

@@ -135,8 +135,10 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
                                max_tiles=max_tiles, key=key)
     dt = time.perf_counter() - t0
     if parquet:
-        if not out.endswith(".parquet.gzip"):
-            out = out.rsplit(".csv", 1)[0] + ".parquet.gzip"
+        # Only rewrite an explicit .csv suffix (incl. the default name);
+        # any other -o value is written verbatim as parquet.
+        if out.endswith(".csv"):
+            out = out[:-len(".csv")] + ".parquet.gzip"
         df.to_parquet(out, compression="gzip")
     else:
         df.to_csv(out, index=False)

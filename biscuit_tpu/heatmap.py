@@ -28,8 +28,12 @@ def _load_interface(model: str, k: Optional[int]):
     artifact (*.biscuit). Both expose the UncertaintyInterface call
     contract ``(tiles, key=) -> (probs, uncertainty)``, so grid inference
     is source-agnostic: heatmaps and Figure-5 tile export run on serving
-    fleets holding only the exported artifact."""
-    if model.endswith(".biscuit"):
+    fleets holding only the exported artifact. Dispatch sniffs the
+    container magic (artifacts may carry any filename — cli/export.py
+    ``-o``), not the ``.biscuit`` suffix."""
+    from .serve import is_servable_artifact
+
+    if is_servable_artifact(model):
         from .serve import load_servable
 
         sv = load_servable(model)

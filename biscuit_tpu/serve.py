@@ -89,8 +89,9 @@ def export_servable(
         k: MC-dropout samples (default: the model's ``hp.uq_samples``).
         platforms: lowering platforms, e.g. ``("tpu",)`` or
             ``("tpu", "cpu")``. Default: the exporting host's backend.
-            Multi-platform export requires ``use_fused=False`` (Pallas
-            TPU kernels cannot lower for CPU).
+            Any non-TPU platform requires that no fused Pallas kernels
+            get baked: pass ``use_fused=False``, or export from a
+            non-TPU host with the default auto gate.
         use_fused: bake the fused Pallas kernels (None = auto: fused on
             a TPU exporting host, XLA elsewhere; False = portable pure
             StableHLO; True = require TPU kernels).
@@ -108,10 +109,19 @@ def export_servable(
     model, params, batch_stats, hp, _meta = load_checkpoint(model_path)
     k = int(k if k is not None else hp.uq_samples)
     normalizer = make_normalizer(hp.normalizer)
-    if platforms is not None and len(platforms) > 1 and use_fused is not False:
+    # Fused Pallas kernels get baked whenever fusion is requested or the
+    # auto-gate would pick them (it keys on the exporting host's backend,
+    # fused_preprocess.py); any requested non-TPU platform then cannot
+    # lower — reject up front with a clear error, including the
+    # single-platform case (platforms=("cpu",) on a TPU host).
+    bakes_fused = use_fused is True or (
+        use_fused is None and jax.default_backend() == "tpu")
+    if (platforms is not None and bakes_fused
+            and any(p != "tpu" for p in platforms)):
         raise ValueError(
-            "multi-platform export requires use_fused=False (Pallas TPU "
-            "kernels lower only for TPU)")
+            "exporting for non-TPU platforms requires use_fused=False "
+            "(the fused Pallas kernels lower only for TPU); got "
+            f"platforms={tuple(platforms)}")
     if use_fused is True and jax.default_backend() != "tpu":
         raise ValueError("use_fused=True requires exporting on a TPU host")
     fused_kw = {}
@@ -182,6 +192,19 @@ def export_servable(
     return out_path
 
 
+def is_servable_artifact(path: str) -> bool:
+    """True if ``path`` is a servable container. Sniffs the magic bytes —
+    artifacts may carry any filename (cli/export.py ``-o``), so dispatching
+    on a ``.biscuit`` suffix is not reliable."""
+    if not os.path.isfile(path):
+        return False
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(_MAGIC)) == _MAGIC
+    except OSError:
+        return False
+
+
 def _read_container(path: str) -> Tuple[dict, bytes]:
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
@@ -200,6 +223,45 @@ def _read_container(path: str) -> Tuple[dict, bytes]:
     return header, blob
 
 
+def _unpack_header(obj, header: dict) -> None:
+    """Shared Servable/ShardedServable header attributes."""
+    obj.header = header
+    obj.batch_size = int(header["batch_size"])
+    obj.tile_px = int(header["tile_px"])
+    # .get: tile_um joined the header after the first exports; older
+    # artifacts fall back to the caller supplying it (predict_slides).
+    obj.tile_um = header.get("tile_um")
+    obj.k = int(header["k"])
+    obj._key = jax.random.PRNGKey(0)
+
+
+def _chunked_uq_call(call_exact, step: int, tiles, key):
+    """Any-n driver over a static-batch exact program: zero-pad each
+    partial chunk to ``step``, strip the padding rows. Shared by
+    ``Servable.__call__`` and ``ShardedServable.__call__`` so the padding
+    contract lives in exactly one place. ``n == 0`` still dispatches one
+    all-padding batch (compile-cached) so the output carries the real
+    class dimension — (0, C) out, keeping the any-n contract."""
+    tiles = np.asarray(tiles)
+    if tiles.ndim == 3:
+        tiles = tiles[None]
+    n = tiles.shape[0]
+    means, stds = [], []
+    for i in range(0, max(n, 1), step):
+        chunk = tiles[i:i + step]
+        n_real = chunk.shape[0]
+        if n_real < step:
+            chunk = np.concatenate(
+                [chunk, np.zeros((step - n_real,) + tuple(chunk.shape[1:]),
+                                 chunk.dtype)], axis=0)
+        # Distinct internal keys per chunk; an explicit key is the caller
+        # pinning determinism and applies to every chunk.
+        m, s = call_exact(chunk, key=key)
+        means.append(np.asarray(m)[:n_real])
+        stds.append(np.asarray(s)[:n_real])
+    return np.concatenate(means, axis=0), np.concatenate(stds, axis=0)
+
+
 class Servable:
     """A deserialized UQ servable: ``(tiles) -> (probs_mean, uncertainty)``.
 
@@ -212,16 +274,10 @@ class Servable:
     """
 
     def __init__(self, path: str):
-        self.header, blob = _read_container(path)
+        header, blob = _read_container(path)
+        _unpack_header(self, header)
         self._exported = jax.export.deserialize(bytearray(blob))
         self._call = jax.jit(self._exported.call)
-        self.batch_size = int(self.header["batch_size"])
-        self.tile_px = int(self.header["tile_px"])
-        # .get: tile_um joined the header after the first exports; older
-        # artifacts fall back to the caller supplying it (predict_slides).
-        self.tile_um = self.header.get("tile_um")
-        self.k = int(self.header["k"])
-        self._key = jax.random.PRNGKey(0)
 
     @property
     def platforms(self):
@@ -243,25 +299,7 @@ class Servable:
         return self._call(tiles, self._next_key_data(key))
 
     def __call__(self, tiles, key=None):
-        tiles = np.asarray(tiles)
-        if tiles.ndim == 3:
-            tiles = tiles[None]
-        n = tiles.shape[0]
-        b = self.batch_size
-        means, stds = [], []
-        for i in range(0, n, b):
-            chunk = tiles[i:i + b]
-            n_real = chunk.shape[0]
-            if n_real < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - n_real,) + chunk.shape[1:],
-                                     chunk.dtype)], axis=0)
-            m, s = self.call_exact(chunk, key=key)
-            # Distinct internal keys per chunk; an explicit key is the
-            # caller pinning determinism and applies to every chunk.
-            means.append(np.asarray(m)[:n_real])
-            stds.append(np.asarray(s)[:n_real])
-        return np.concatenate(means, axis=0), np.concatenate(stds, axis=0)
+        return _chunked_uq_call(self.call_exact, self.batch_size, tiles, key)
 
 
 def load_servable(path: str) -> Servable:
@@ -295,7 +333,8 @@ class ShardedServable:
     def __init__(self, path: str, mesh=None, axis: str = "data"):
         import jax.sharding as jsh
 
-        self.header, blob = _read_container(path)
+        header, blob = _read_container(path)
+        _unpack_header(self, header)  # batch_size is per device
         self._exported = jax.export.deserialize(bytearray(blob))
         if mesh is None:
             from .parallel.mesh import data_parallel_mesh
@@ -304,12 +343,7 @@ class ShardedServable:
         self.mesh = mesh
         self.axis = axis
         self.n_shards = int(mesh.shape[axis])
-        self.batch_size = int(self.header["batch_size"])  # per device
         self.global_batch = self.batch_size * self.n_shards
-        self.tile_px = int(self.header["tile_px"])
-        self.tile_um = self.header.get("tile_um")
-        self.k = int(self.header["k"])
-        self._key = jax.random.PRNGKey(0)
 
         P = jsh.PartitionSpec
         call = self._exported.call
@@ -350,23 +384,8 @@ class ShardedServable:
         return self._call(tiles, self._shard_key_data(key))
 
     def __call__(self, tiles, key=None):
-        tiles = np.asarray(tiles)
-        if tiles.ndim == 3:
-            tiles = tiles[None]
-        n = tiles.shape[0]
-        b = self.global_batch
-        means, stds = [], []
-        for i in range(0, n, b):
-            chunk = tiles[i:i + b]
-            n_real = chunk.shape[0]
-            if n_real < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - n_real,) + chunk.shape[1:],
-                                     chunk.dtype)], axis=0)
-            m, s = self.call_exact(chunk, key=key)
-            means.append(np.asarray(m)[:n_real])
-            stds.append(np.asarray(s)[:n_real])
-        return np.concatenate(means, axis=0), np.concatenate(stds, axis=0)
+        return _chunked_uq_call(self.call_exact, self.global_batch, tiles,
+                                key)
 
 
 def load_sharded_servable(path: str, mesh=None,
@@ -481,18 +500,15 @@ def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
         n_real = len(imgs)
         if not n_real:
             return
-        batch = np.stack(imgs)
-        if n_real < step:
-            batch = np.concatenate(
-                [batch, np.zeros((step - n_real,) + batch.shape[1:],
-                                 batch.dtype)])
         if key is not None:
             key, sub = jax.random.split(key)
         else:
             sub = None
-        m_probs, m_unc = servable.call_exact(batch, key=sub)
-        probs_all.append(np.asarray(m_probs)[:n_real])
-        unc_all.append(np.asarray(m_unc)[:n_real])
+        # servable.__call__ pads the (single, <= step) chunk to the static
+        # batch and strips the padding rows.
+        m_probs, m_unc = servable(np.stack(imgs), key=sub)
+        probs_all.append(np.asarray(m_probs))
+        unc_all.append(np.asarray(m_unc))
         for i in range(n_real):
             rows["slide"].append(slide_name)
             rows["loc_x"].append(int(locs[i][0]))

@@ -74,6 +74,21 @@ class TestContainer:
         with pytest.raises(ValueError, match="bad magic"):
             serve.load_servable(str(p))
 
+    def test_is_servable_artifact_sniffs_magic(self, artifact, model_dir,
+                                               tmp_path):
+        """Artifact detection keys on the container magic, not the filename
+        — exports may carry any -o name (heatmap.py dispatches on this)."""
+        import shutil
+
+        renamed = tmp_path / "fleet_artifact_v1"  # no extension at all
+        shutil.copyfile(artifact, renamed)
+        assert serve.is_servable_artifact(str(renamed))
+        assert not serve.is_servable_artifact(model_dir)  # a directory
+        foreign = tmp_path / "model.biscuit"  # suffix lies
+        foreign.write_bytes(b"not a container")
+        assert not serve.is_servable_artifact(str(foreign))
+        assert not serve.is_servable_artifact(str(tmp_path / "absent"))
+
     def test_rejects_future_format(self, artifact, tmp_path):
         raw = open(artifact, "rb").read()
         n = int.from_bytes(raw[len(serve._MAGIC):len(serve._MAGIC) + 8],
@@ -160,6 +175,13 @@ class TestPadding:
         m, s = sv(_tiles(1)[0])
         assert m.shape[0] == 1
 
+    def test_empty_batch(self, artifact):
+        """n=0 keeps the any-n contract (a QC-filtered tile list can come
+        back empty): (0, C) out, not a np.concatenate crash."""
+        sv = serve.load_servable(artifact)
+        m, s = sv(np.zeros((0, 32, 32, 3), np.uint8))
+        assert m.shape == (0, 2) and s.shape[0] == 0
+
 
 class TestExportCLI:
     def test_cli_exports_and_prints_path(self, model_dir, tmp_path):
@@ -181,7 +203,8 @@ class TestExportCLI:
         from biscuit_tpu.cli.export import main
 
         r = CliRunner().invoke(
-            main, [model_dir, "--platform", "cpu", "--platform", "tpu"])
+            main, [model_dir, "--platform", "cpu", "--platform", "tpu",
+                   "--fused"])
         assert r.exit_code != 0
         assert isinstance(r.exception, ValueError)
 
@@ -270,10 +293,25 @@ class TestServableTPU:
 
 
 class TestGuards:
-    def test_multiplatform_requires_unfused(self, model_dir):
+    def test_nontpu_platform_requires_unfused(self, model_dir):
+        """Fused kernels get baked when fusion is requested (or the auto
+        gate picks it on a TPU host); any non-TPU target platform then
+        cannot lower. The guard must fire for a SINGLE non-TPU platform
+        too, not just the multi-platform case — platforms=("cpu",) on a
+        TPU host would otherwise hit an obscure Mosaic lowering error."""
         with pytest.raises(ValueError, match="use_fused=False"):
             serve.export_servable(model_dir, batch_size=4,
-                                  platforms=("cpu", "tpu"))
+                                  platforms=("cpu", "tpu"), use_fused=True)
+        with pytest.raises(ValueError, match="use_fused=False"):
+            serve.export_servable(model_dir, batch_size=4,
+                                  platforms=("cpu",), use_fused=True)
+
+    def test_auto_gate_on_tpu_host_rejects_cpu_platform(self, model_dir):
+        if jax.default_backend() != "tpu":
+            pytest.skip("auto gate bakes fused kernels only on a TPU host")
+        with pytest.raises(ValueError, match="use_fused=False"):
+            serve.export_servable(model_dir, batch_size=4,
+                                  platforms=("cpu",))
 
     def test_fused_requires_tpu_host(self, model_dir):
         if jax.default_backend() == "tpu":
@@ -356,6 +394,10 @@ class TestSharded:
         a = sharded.call_exact(tiles)
         b = sharded.call_exact(tiles)
         assert not np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_empty_batch(self, sharded):
+        m, s = sharded(np.zeros((0, 32, 32, 3), np.uint8))
+        assert m.shape == (0, 2) and s.shape[0] == 0
 
 
 class TestPredict:
