@@ -91,8 +91,14 @@ def _labels_from_annotations(annotations, outcome):
                    "resolution metadata (plain PNG/JPEG).")
 @click.option("--qc", default="both", show_default=True,
               help="--slides tile QC: both|otsu|blur|none.")
+@click.option("--distributed", "dist_workdir", default=None,
+              help="Fleet scoring: run this command on EVERY host of a "
+                   "multi-process runtime; hosts claim tfrecords from the "
+                   "coordination-service work queue and shards merge "
+                   "through this SHARED directory. The output file is "
+                   "written by the main process only.")
 def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
-         seed, parquet, slides, tile_um, mpp, qc):
+         seed, parquet, slides, tile_um, mpp, qc, dist_workdir):
     """Score TFRECORDS (files or directories of {slide}.tfrecords — or
     slide images with --slides) with ARTIFACT and write a
     reference-contract tile predictions frame."""
@@ -103,7 +109,16 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
         load_sharded_servable,
         predict_slides,
         predict_tfrecords,
+        predict_tfrecords_distributed,
     )
+
+    if dist_workdir is not None:
+        if slides:
+            raise click.UsageError(
+                "--distributed applies to tfrecord scoring")
+        from ..parallel import distributed
+
+        distributed.initialize()
 
     paths = _expand(tfrecords, slides=slides)
     labels = {}
@@ -130,10 +145,23 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
         df = predict_slides(sv, paths, tile_um=tile_um, mpp=mpp,
                             qc=None if qc == "none" else qc,
                             outcome=outcome, key=key)
+    elif dist_workdir is not None:
+        df = predict_tfrecords_distributed(
+            sv, paths, dist_workdir, labels=labels, outcome=outcome,
+            max_tiles=max_tiles, key=key)
     else:
         df = predict_tfrecords(sv, paths, labels=labels, outcome=outcome,
                                max_tiles=max_tiles, key=key)
     dt = time.perf_counter() - t0
+    if dist_workdir is not None:
+        from ..parallel.distributed import is_main
+
+        if not is_main():
+            # Every host holds the identical merged frame; the shared-fs
+            # output file is main's to write (same rule as the trainer's
+            # artifact writes).
+            log.info(f"{len(df)} tiles merged; main writes {out}")
+            return
     if parquet:
         # Only rewrite an explicit .csv suffix (incl. the default name);
         # any other -o value is written verbatim as parquet.

@@ -460,6 +460,93 @@ def predict_tfrecords(servable, tfrecords, labels=None, outcome="cohort",
     return tile_predictions_frame(outcome, pd.DataFrame(rows), probs, unc)
 
 
+def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
+                                  outcome="cohort", max_tiles=None,
+                                  key=None, timeout_ms=600_000):
+    """Fleet batch scoring over a multi-process JAX runtime — the serving
+    twin of Experiment.run's distributed fold scheduling (SURVEY.md §2.5;
+    no reference counterpart: the reference scores with one GPU process,
+    /root/reference/results.py:234-257).
+
+    Every process calls this with the SAME tfrecord list (claim tokens
+    and output ordering key on the list index). Each host atomically
+    claims whole per-slide tfrecords from the coordination-service work
+    queue (``parallel.distributed.try_claim`` — the primitive behind
+    distributed fold scheduling), scores its claims locally through its
+    own servable, and writes one shard file into ``workdir`` (a SHARED
+    filesystem path, like the ladder's artifact tree). A status exchange
+    closes the scoring phase — one host's failure aborts scoring on
+    EVERY host instead of hanging the fleet at the merge barrier — then
+    every process reads all shards and returns the SAME merged
+    tile-prediction frame, ordered by the input list order (which host
+    claimed what does not leak into the output).
+
+    Determinism: with ``key=`` given, tfrecord ``i`` is scored with
+    ``fold_in(key, i)`` regardless of the claiming host, so the merged
+    frame is identical at any fleet size (pinned in test_distributed).
+
+    Single-process this degrades to :func:`predict_tfrecords` semantics:
+    every claim is won locally and the merge reads back the one shard.
+    """
+    import uuid
+
+    import pandas as pd
+
+    from .parallel import distributed as dist
+    from .utils import tile_predictions_frame
+
+    paths = [str(p) for p in tfrecords]
+    os.makedirs(workdir, exist_ok=True)
+    # Claim tokens are namespaced per invocation (same rationale as
+    # Experiment.run): coordination-service counters outlive one call, and
+    # a stale claim from an earlier run in the same process group must not
+    # starve this one. The namespace also keys the shard filenames, so a
+    # reused workdir cannot leak stale shards into the merge.
+    ns = dist.broadcast_from_main(
+        "predict_nonce",
+        uuid.uuid4().hex[:12] if dist.is_main() else None,
+        timeout_ms=timeout_ms)
+    pid = jax.process_index()
+
+    err = None
+    try:
+        frames = []
+        for i, p in enumerate(paths):
+            if not dist.try_claim(f"{ns}_tfr{i}"):
+                continue
+            sub = jax.random.fold_in(key, i) if key is not None else None
+            df = predict_tfrecords(servable, [p], labels=labels,
+                                   outcome=outcome, max_tiles=max_tiles,
+                                   key=sub)
+            df.insert(0, "_src", i)
+            frames.append(df)
+        if frames:
+            shard = pd.concat(frames, ignore_index=True)
+            tmp = os.path.join(workdir, f".{ns}_shard_{pid}.tmp")
+            shard.to_parquet(tmp)
+            os.replace(tmp, os.path.join(workdir, f"{ns}_shard_{pid}.parquet"))
+    except Exception as e:
+        err = e
+    all_ok = dist.exchange_ok(f"{ns}_scored", err is None, timeout_ms)
+    if err is not None:
+        raise err
+    if not all_ok:
+        raise RuntimeError("a peer host failed distributed scoring")
+
+    from glob import glob
+
+    shards = sorted(glob(os.path.join(workdir, f"{ns}_shard_*.parquet")))
+    if not shards:
+        empty = pd.DataFrame({"slide": [], "loc_x": [], "loc_y": [],
+                              "y_true": []})
+        return tile_predictions_frame(outcome, empty,
+                                      np.zeros((0, 2), np.float32), None)
+    merged = pd.concat([pd.read_parquet(s) for s in shards],
+                       ignore_index=True)
+    merged = merged.sort_values("_src", kind="stable").drop(columns="_src")
+    return merged.reset_index(drop=True)
+
+
 def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
                    stride_div=1, roi_method="ignore", outcome="cohort",
                    key=None):

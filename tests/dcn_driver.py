@@ -261,6 +261,50 @@ def _distributed_ladder_failure(outfile, project_root):
     print(f"proc {pid}: LADDERFAIL OK", flush=True)
 
 
+def _predict_distributed(outfile, workdir, fail=False):
+    """Distributed servable scoring (serve.predict_tfrecords_distributed):
+    each host claims whole tfrecords from the coordination-service work
+    queue, scores them with its own servable, and every host returns the
+    SAME merged frame. ``fail=True`` injects a scoring failure on
+    whichever host claims sl3 — the status exchange must abort scoring on
+    every host."""
+    from glob import glob
+    from os.path import join
+
+    import jax
+
+    from biscuit_tpu import serve
+
+    pid = jax.process_index()
+    sv = serve.load_servable(join(workdir, "artifact.biscuit"))
+    tfrs = sorted(glob(join(workdir, "tfr", "*.tfrecords")))
+    assert tfrs, f"no tfrecords under {workdir}"
+    if fail:
+        orig = serve.predict_tfrecords
+
+        def flaky(servable, paths, **kw):
+            if any(p.endswith("sl3.tfrecords") for p in paths):
+                raise RuntimeError("injected scoring failure")
+            return orig(servable, paths, **kw)
+
+        serve.predict_tfrecords = flaky
+    claimed_before = len(glob(join(workdir, "scored", "*.parquet")))
+    try:
+        df = serve.predict_tfrecords_distributed(
+            sv, tfrs, join(workdir, "scored"), outcome="cohort",
+            key=jax.random.PRNGKey(5))
+        err = None
+    except Exception as e:
+        df, err = None, str(e)
+    out = {"pid": pid, "error": err, "shards_preexisting": claimed_before}
+    if df is not None:
+        df.to_csv(f"{outfile}.frame.csv", index=False)
+        out["n"] = len(df)
+    with open(outfile, "w") as f:
+        json.dump(out, f)
+    print(f"proc {pid}: PREDICT {'FAILOK' if err else 'OK'}", flush=True)
+
+
 def main():
     pid, nproc, coord, devs, outfile = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
@@ -301,6 +345,10 @@ def main():
         return
     if len(sys.argv) > 6 and sys.argv[6] == "ladderfail":
         _distributed_ladder_failure(outfile, sys.argv[7])
+        return
+    if len(sys.argv) > 6 and sys.argv[6] in ("predict", "predictfail"):
+        _predict_distributed(outfile, sys.argv[7],
+                             fail=sys.argv[6] == "predictfail")
         return
     if len(sys.argv) > 6 and sys.argv[6] == "ckpt":
         kill = sys.argv[9] if len(sys.argv) > 9 else "exit"

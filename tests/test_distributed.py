@@ -399,3 +399,79 @@ def test_multihost_checkpoint_crash_resume(tmp_path):
         assert os.path.exists(os.path.join(crashed_dir, fname)), fname
     dirs = [d for d in os.listdir(P.models_dir) if "CKPT_E2E" in d]
     assert len(dirs) == 1, dirs
+
+
+def _make_scoring_workdir(tmp_path, n_slides=6, tiles_per=7):
+    """Shared workdir for distributed servable scoring: an exported
+    artifact (pure-XLA; child processes run CPU) + per-slide tfrecords."""
+    from PIL import Image
+
+    from biscuit_tpu import serve
+    from biscuit_tpu.data.tfrecord import TFRecordWriter
+    from biscuit_tpu.models.xception import build_model
+    from biscuit_tpu.train.trainer import init_model, save_checkpoint
+    from test_model_trainer import tiny_hp
+
+    import jax
+
+    rng = np.random.default_rng(3)
+    tfr = tmp_path / "tfr"
+    tfr.mkdir()
+    for i in range(n_slides):
+        with TFRecordWriter(str(tfr / f"sl{i}.tfrecords")) as w:
+            for t in range(tiles_per):
+                buf = io.BytesIO()
+                Image.fromarray(
+                    rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                ).save(buf, format="PNG")
+                w.write_tile(f"sl{i}", buf.getvalue(), loc_x=t, loc_y=0)
+    hp = tiny_hp(uq=True)
+    model = build_model(hp)
+    params, batch_stats = init_model(model, hp, jax.random.PRNGKey(3))
+    mdir = save_checkpoint(str(tmp_path / "model"), params, batch_stats, hp,
+                           epoch=1, outcome="cohort", label="dsc",
+                           kfold=None)
+    serve.export_servable(mdir, batch_size=8, use_fused=False,
+                          out_path=str(tmp_path / "artifact.biscuit"))
+    return str(tmp_path)
+
+
+def test_distributed_scoring_matches_single_process(tmp_path):
+    """serve.predict_tfrecords_distributed: a 2-host fleet claims whole
+    tfrecords from the coordination-service work queue, scores them
+    locally, and every host returns the SAME merged frame — bitwise equal
+    to the single-process run of the identical call (the fold_in(key, i)
+    schedule makes the output independent of fleet size and claim
+    distribution)."""
+    wd = _make_scoring_workdir(tmp_path)
+    golden = _run_group(1, 1, tmp_path, "pred1", extra=("predict", wd))
+    assert golden[0]["error"] is None
+    g = pd.read_csv(str(tmp_path / "pred1_0.json.frame.csv"))
+    assert len(g) == 6 * 7 and golden[0]["n"] == 42
+
+    # Fresh scored/ dir per fleet (the nonce isolates shard files anyway;
+    # this also asserts the nonce isolation below via shards_preexisting).
+    r = _run_group(2, 1, tmp_path, "pred2", extra=("predict", wd))
+    for res in r:
+        assert res["error"] is None, res
+        assert res["n"] == 42
+    f0 = pd.read_csv(str(tmp_path / "pred2_0.json.frame.csv"))
+    f1 = pd.read_csv(str(tmp_path / "pred2_1.json.frame.csv"))
+    pd.testing.assert_frame_equal(f0, f1)  # identical on every host
+    pd.testing.assert_frame_equal(f0, g)   # identical to single-process
+    # The single-process run's shards were already in scored/ when the
+    # fleet ran (shards_preexisting > 0 on some host) — the per-invocation
+    # nonce kept them out of the fleet's merge (n stayed 42).
+    assert any(res["shards_preexisting"] > 0 for res in r)
+
+
+def test_distributed_scoring_failure_aborts_every_host(tmp_path):
+    """One host's scoring failure surfaces on EVERY host at the status
+    exchange instead of hanging the peers at the merge barrier."""
+    wd = _make_scoring_workdir(tmp_path)
+    r = _run_group(2, 1, tmp_path, "predfail", extra=("predictfail", wd))
+    errs = [res["error"] for res in r]
+    assert all(e is not None for e in errs), errs
+    assert sum("injected scoring failure" in e for e in errs) == 1, errs
+    assert sum("peer host failed distributed scoring" in e
+               for e in errs) == 1, errs

@@ -494,6 +494,47 @@ class TestPredict:
         pd.testing.assert_frame_equal(df, pd.read_csv(out2))
 
 
+    def test_distributed_single_process_degrade(self, artifact, corpus,
+                                                tmp_path):
+        """predict_tfrecords_distributed single-process: every claim is won
+        locally, the shard roundtrips through workdir, and the merged frame
+        keeps the input tfrecord order. (The real 2-host fleet — claims
+        split across OS processes, failure abort, cross-host determinism —
+        is pinned in test_distributed.py.)"""
+        root, _ = corpus
+        paths = sorted(str(p) for p in root.glob("*.tfrecords"))
+        sv = serve.load_servable(artifact)
+        wd = str(tmp_path / "scored")
+        df = serve.predict_tfrecords_distributed(
+            sv, paths, wd, outcome="cohort", key=jax.random.PRNGKey(5))
+        assert len(df) == 21
+        assert df.slide.tolist() == (["sl0"] * 7 + ["sl1"] * 7
+                                     + ["sl2"] * 7)
+        assert "_src" not in df.columns
+        # Per-file fold_in(key, i) schedule: file i scored alone with
+        # fold_in(key, i) reproduces the distributed rows exactly.
+        alone = serve.predict_tfrecords(
+            sv, [paths[1]], outcome="cohort",
+            key=jax.random.fold_in(jax.random.PRNGKey(5), 1))
+        np.testing.assert_array_equal(
+            df[df.slide == "sl1"].cohort_y_pred1.to_numpy(),
+            alone.cohort_y_pred1.to_numpy())
+        # CLI --distributed degrades the same way.
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.predict import main
+
+        out = str(tmp_path / "dpred.csv")
+        r = CliRunner().invoke(main, [
+            artifact, str(root), "-o", out, "--seed", "5",
+            "--distributed", str(tmp_path / "scored_cli")])
+        assert r.exit_code == 0, r.output
+        import pandas as pd
+
+        got = pd.read_csv(out)
+        assert len(got) == 21
+
+
 class TestPredictSlides:
     """Direct-WSI scoring (serve.predict_slides): the reference Fig-5
     per-tile loop (results.py:234-257) driven through the artifact."""
