@@ -131,9 +131,21 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
         log.info(f"labels: {unique} from {annotations}")
 
     if sharded is None:
-        sharded = len(jax.devices()) > 1
-    sv = (load_sharded_servable(artifact) if sharded
-          else load_servable(artifact))
+        sharded = len(jax.local_devices()) > 1
+    if sharded:
+        mesh = None
+        if dist_workdir is not None:
+            from ..parallel.mesh import data_parallel_mesh
+
+            # Work-queue scoring is per-host independent: the fan-out mesh
+            # must span only THIS host's devices. A global mesh would make
+            # the scoring program a fleet-collective and deadlock against
+            # the per-host claim schedule (guarded in
+            # predict_tfrecords_distributed).
+            mesh = data_parallel_mesh(jax.local_devices())
+        sv = load_sharded_servable(artifact, mesh=mesh)
+    else:
+        sv = load_servable(artifact)
     step = getattr(sv, "global_batch", sv.batch_size)
     log.info(
         f"{'sharded ' if sharded else ''}servable: {sv.tile_px}px, "

@@ -495,6 +495,16 @@ def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
     from .parallel import distributed as dist
     from .utils import tile_predictions_frame
 
+    mesh = getattr(servable, "mesh", None)
+    if mesh is not None and dist.mesh_spans_processes(mesh):
+        raise ValueError(
+            "predict_tfrecords_distributed scores per-host independent "
+            "claims; a ShardedServable here must fan out over THIS host's "
+            "devices only (a process-spanning mesh makes the scoring "
+            "program a fleet-collective that deadlocks against the claim "
+            "schedule) — build it with "
+            "load_sharded_servable(path, mesh=data_parallel_mesh("
+            "jax.local_devices()))")
     paths = [str(p) for p in tfrecords]
     os.makedirs(workdir, exist_ok=True)
     # Claim tokens are namespaced per invocation (same rationale as

@@ -276,7 +276,25 @@ def _predict_distributed(outfile, workdir, fail=False):
     from biscuit_tpu import serve
 
     pid = jax.process_index()
-    sv = serve.load_servable(join(workdir, "artifact.biscuit"))
+    art = join(workdir, "artifact.biscuit")
+    if len(jax.local_devices()) > 1:
+        # Sharded fan-out over THIS host's devices (the cli.predict
+        # --distributed topology). A process-spanning mesh must be
+        # rejected by the API guard — assert that first.
+        from biscuit_tpu.parallel.mesh import data_parallel_mesh
+
+        if jax.process_count() > 1:
+            bad = serve.load_sharded_servable(art)  # global default mesh
+            try:
+                serve.predict_tfrecords_distributed(
+                    bad, ["x.tfrecords"], join(workdir, "never"))
+                raise AssertionError("process-spanning mesh not rejected")
+            except ValueError as e:
+                assert "fleet-collective" in str(e), e
+        sv = serve.load_sharded_servable(
+            art, mesh=data_parallel_mesh(jax.local_devices()))
+    else:
+        sv = serve.load_servable(art)
     tfrs = sorted(glob(join(workdir, "tfr", "*.tfrecords")))
     assert tfrs, f"no tfrecords under {workdir}"
     if fail:

@@ -444,14 +444,17 @@ def test_distributed_scoring_matches_single_process(tmp_path):
     schedule makes the output independent of fleet size and claim
     distribution)."""
     wd = _make_scoring_workdir(tmp_path)
-    golden = _run_group(1, 1, tmp_path, "pred1", extra=("predict", wd))
+    # devs=2 per process: each host fans its claims over a HOST-LOCAL
+    # sharded servable (the cli.predict --distributed topology); the
+    # driver also asserts the process-spanning-mesh guard fires first.
+    golden = _run_group(1, 2, tmp_path, "pred1", extra=("predict", wd))
     assert golden[0]["error"] is None
     g = pd.read_csv(str(tmp_path / "pred1_0.json.frame.csv"))
     assert len(g) == 6 * 7 and golden[0]["n"] == 42
 
     # Fresh scored/ dir per fleet (the nonce isolates shard files anyway;
     # this also asserts the nonce isolation below via shards_preexisting).
-    r = _run_group(2, 1, tmp_path, "pred2", extra=("predict", wd))
+    r = _run_group(2, 2, tmp_path, "pred2", extra=("predict", wd))
     for res in r:
         assert res["error"] is None, res
         assert res["n"] == 42
