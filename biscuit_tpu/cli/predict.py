@@ -49,7 +49,11 @@ def _labels_from_annotations(annotations, outcome):
     outcome values -> stable class index; dataset.py:83-98)."""
     import pandas as pd
 
-    df = pd.read_csv(annotations)
+    # dtype=str matches the project/Dataset.labels convention (project.py
+    # reads annotations as strings): numeric-looking slide IDs must join
+    # against the tfrecords' string slide names, and numeric outcome codes
+    # must sort as strings — the order the model was trained with.
+    df = pd.read_csv(annotations, dtype=str)
     if "slide" not in df.columns or outcome not in df.columns:
         raise click.UsageError(
             f"annotations must have 'slide' and {outcome!r} columns")
@@ -74,7 +78,7 @@ def _labels_from_annotations(annotations, outcome):
               help="Fan the artifact over all local devices (default: "
                    "sharded when more than one device is visible).")
 @click.option("--max-tiles", default=None, type=int,
-              help="Per-tfrecord tile cap.")
+              help="Per-tfrecord (or, with --slides, per-slide) tile cap.")
 @click.option("--seed", default=None, type=int,
               help="PRNG seed pinning the MC-dropout streams "
                    "(deterministic re-runs); default: fresh streams.")
@@ -156,7 +160,7 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
     if slides:
         df = predict_slides(sv, paths, tile_um=tile_um, mpp=mpp,
                             qc=None if qc == "none" else qc,
-                            outcome=outcome, key=key)
+                            outcome=outcome, max_tiles=max_tiles, key=key)
     elif dist_workdir is not None:
         df = predict_tfrecords_distributed(
             sv, paths, dist_workdir, labels=labels, outcome=outcome,

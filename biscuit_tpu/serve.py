@@ -419,10 +419,8 @@ def predict_tfrecords(servable, tfrecords, labels=None, outcome="cohort",
         key: optional PRNG key pinning the MC-dropout streams; default is
             the servable's internal advancing key stream.
     """
-    import pandas as pd
-
     from .data.pipeline import PrefetchBatcher, TileBatcher
-    from .utils import tile_predictions_frame
+    from .utils import scored_tile_rows, tile_predictions_frame
 
     step = int(getattr(servable, "global_batch", servable.batch_size))
     batcher = PrefetchBatcher(
@@ -432,32 +430,23 @@ def predict_tfrecords(servable, tfrecords, labels=None, outcome="cohort",
         ),
         depth=3,
     )
-    rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
-    probs_all, unc_all = [], []
+    key_state = [key]
+
+    def score(batch):
+        if key_state[0] is not None:
+            key_state[0], sub = jax.random.split(key_state[0])
+        else:
+            sub = None
+        # TileBatcher pads the final partial batch to the static step
+        # size, so the exact exported program runs every time; the row
+        # assembly strips padding via the mask.
+        return servable.call_exact(batch["image"], key=sub)
+
     try:
-        for batch in batcher:
-            if key is not None:
-                key, sub = jax.random.split(key)
-            else:
-                sub = None
-            # TileBatcher pads the final partial batch to the static step
-            # size, so the exact exported program runs every time; the
-            # mask strips padding rows here.
-            m_probs, m_unc = servable.call_exact(batch["image"], key=sub)
-            mask = np.asarray(batch["mask"])
-            probs_all.append(np.asarray(m_probs)[mask])
-            unc_all.append(np.asarray(m_unc)[mask])
-            for i in np.where(mask)[0]:
-                rows["slide"].append(batch["slide"][i])
-                rows["loc_x"].append(int(batch["loc"][i, 0]))
-                rows["loc_y"].append(int(batch["loc"][i, 1]))
-                rows["y_true"].append(int(batch["label"][i]))
+        df, probs, unc = scored_tile_rows(batcher, score)
     finally:
         batcher.close()
-    probs = (np.concatenate(probs_all) if probs_all
-             else np.zeros((0, 2), np.float32))
-    unc = np.concatenate(unc_all) if unc_all else None
-    return tile_predictions_frame(outcome, pd.DataFrame(rows), probs, unc)
+    return tile_predictions_frame(outcome, df, probs, unc)
 
 
 def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
@@ -520,9 +509,17 @@ def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
 
     err = None
     try:
+        from .data.tfrecord import load_index
+
         frames = []
         for i, p in enumerate(paths):
             if not dist.try_claim(f"{ns}_tfr{i}"):
+                continue
+            if len(load_index(p)) == 0:
+                # A QC'd-empty tfrecord contributes no rows — same as it
+                # would inside the combined non-distributed batcher
+                # (scored alone it would raise TileBatcher's no-tiles
+                # error and abort the whole fleet).
                 continue
             sub = jax.random.fold_in(key, i) if key is not None else None
             df = predict_tfrecords(servable, [p], labels=labels,
@@ -559,7 +556,7 @@ def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
 
 def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
                    stride_div=1, roi_method="ignore", outcome="cohort",
-                   key=None):
+                   max_tiles=None, key=None):
     """Score whole-slide images DIRECTLY with a (sharded) servable — no
     extraction step, no tfrecords: the reference's per-tile UQ inference
     loop (/root/reference/results.py:234-257: sf.WSI -> build_generator ->
@@ -577,6 +574,8 @@ def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
         qc: 'both' (Otsu + blur, the reference extraction default),
             'otsu', 'blur', or None.
         stride_div: grid stride divisor (sf.Heatmap's knob).
+        max_tiles: per-slide tile cap (grid order) — the slide-mode twin
+            of predict_tfrecords' per-tfrecord cap.
     """
     import pandas as pd
 
@@ -615,8 +614,11 @@ def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
     for path in slides:
         wsi = WSI(path, tile_px=servable.tile_px, tile_um=tile_um, mpp=mpp,
                   qc=qc, stride_div=stride_div, roi_method=roi_method)
-        imgs, locs = [], []
+        imgs, locs, taken = [], [], 0
         for item in wsi.build_generator(shuffle=False, include_loc="grid")():
+            if max_tiles is not None and taken >= max_tiles:
+                break
+            taken += 1
             imgs.append(item["image"])
             locs.append(item["loc"])
             if len(imgs) == step:

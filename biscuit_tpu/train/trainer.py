@@ -330,39 +330,24 @@ def predict_tiles(
         ),
         depth=3,
     )
-    key = jax.random.PRNGKey(42)
-    rows = {"slide": [], "loc_x": [], "loc_y": [], "y_true": []}
-    probs_all, unc_all = [], []
-    # Under a multi-process runtime jax.jit refuses host numpy for
-    # non-replicated in_shardings even on a fully-addressable (local)
-    # mesh — place the batch explicitly. Single-process keeps the
-    # auto-placement fast path.
-    for batch in batcher:
-        key, sub = jax.random.split(key)
+    from ..utils import scored_tile_rows
+
+    key_state = [jax.random.PRNGKey(42)]
+
+    def score(batch):
+        key_state[0], sub = jax.random.split(key_state[0])
         images = batch["image"]
         if multiproc:
+            # jax.jit refuses host numpy for non-replicated in_shardings
+            # even on a fully-addressable (local) mesh — place the batch
+            # explicitly. Single-process keeps the auto-placement path.
             images = jax.device_put(images, batch_sharding(mesh))
-        probs, unc = infer(params, batch_stats, images, sub)
-        probs = np.asarray(probs)
-        unc = np.asarray(unc) if unc is not None else None
-        m = np.asarray(batch["mask"])
-        probs_all.append(probs[m])
-        if unc is not None:
-            unc_all.append(unc[m])
-        for i in np.where(m)[0]:
-            rows["slide"].append(batch["slide"][i])
-            rows["loc_x"].append(int(batch["loc"][i, 0]))
-            rows["loc_y"].append(int(batch["loc"][i, 1]))
-            rows["y_true"].append(int(batch["label"][i]))
-    batcher.close()
+        return infer(params, batch_stats, images, sub)
 
-    probs = (
-        np.concatenate(probs_all)
-        if probs_all
-        else np.zeros((0, 2), np.float32)
-    )
-    df = pd.DataFrame(rows)
-    return df, probs, (np.concatenate(unc_all) if unc_all else None)
+    try:
+        return scored_tile_rows(batcher, score)
+    finally:
+        batcher.close()
 
 
 

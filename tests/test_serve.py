@@ -494,6 +494,44 @@ class TestPredict:
         pd.testing.assert_frame_equal(df, pd.read_csv(out2))
 
 
+    def test_cli_labels_numeric_slide_ids_join_as_strings(self, artifact,
+                                                          tmp_path):
+        """Annotations with numeric-looking slide IDs / outcome codes must
+        join and sort as STRINGS (the project.py dtype=str convention) —
+        pandas type inference would otherwise key the labels dict by ints
+        and every y_true0 silently falls back to -1."""
+        import io as _io
+
+        import pandas as pd
+        from PIL import Image
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.predict import main
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+
+        rng = np.random.default_rng(0)
+        tfr = tmp_path / "numeric"
+        tfr.mkdir()
+        for sl in ("0123", "7"):
+            with TFRecordWriter(str(tfr / f"{sl}.tfrecords")) as w:
+                buf = _io.BytesIO()
+                Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                             dtype=np.uint8)
+                                ).save(buf, format="PNG")
+                w.write_tile(sl, buf.getvalue(), loc_x=0, loc_y=0)
+        ann = str(tmp_path / "num_ann.csv")
+        # Outcome codes 2 and 10: string sort gives ["10", "2"], so
+        # "10"->0 and "2"->1 — matching Dataset.labels, NOT numeric order.
+        pd.DataFrame({"slide": ["0123", "7"], "cohort": ["2", "10"]}
+                     ).to_csv(ann, index=False)
+        out = str(tmp_path / "num_preds.csv")
+        r = CliRunner().invoke(main, [
+            artifact, str(tfr), "-o", out, "--annotations", ann])
+        assert r.exit_code == 0, r.output
+        df = pd.read_csv(out, dtype={"slide": str})
+        assert set(df[df.slide == "0123"].cohort_y_true0) == {1}
+        assert set(df[df.slide == "7"].cohort_y_true0) == {0}
+
     def test_distributed_single_process_degrade(self, artifact, corpus,
                                                 tmp_path):
         """predict_tfrecords_distributed single-process: every claim is won
@@ -501,12 +539,21 @@ class TestPredict:
         keeps the input tfrecord order. (The real 2-host fleet — claims
         split across OS processes, failure abort, cross-host determinism —
         is pinned in test_distributed.py.)"""
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+
         root, _ = corpus
         paths = sorted(str(p) for p in root.glob("*.tfrecords"))
+        # A QC'd-empty tfrecord must contribute no rows, not abort the
+        # fleet (scored per-file, it would raise TileBatcher's no-tiles
+        # error without the load_index skip).
+        empty = str(tmp_path / "empty_slide.tfrecords")
+        with TFRecordWriter(empty):
+            pass
         sv = serve.load_servable(artifact)
         wd = str(tmp_path / "scored")
         df = serve.predict_tfrecords_distributed(
-            sv, paths, wd, outcome="cohort", key=jax.random.PRNGKey(5))
+            sv, paths + [empty], wd, outcome="cohort",
+            key=jax.random.PRNGKey(5))
         assert len(df) == 21
         assert df.slide.tolist() == (["sl0"] * 7 + ["sl1"] * 7
                                      + ["sl2"] * 7)
@@ -571,6 +618,15 @@ class TestPredictSlides:
         sv = serve.load_servable(artifact)
         df = serve.predict_slides(sv, [slide], mpp=1.0, qc="both")
         assert 0 < len(df) < 64
+
+    def test_max_tiles_caps_per_slide(self, artifact, slide):
+        """max_tiles (CLI --max-tiles) caps the grid per slide — the
+        slide-mode twin of the per-tfrecord cap, previously silently
+        ignored with --slides."""
+        sv = serve.load_servable(artifact)
+        df = serve.predict_slides(sv, [slide, slide], mpp=1.0, qc=None,
+                                  max_tiles=5)
+        assert len(df) == 10  # 5 per slide, not 5 total or 64+64
 
     def test_cli_slides_mode(self, artifact, slide, tmp_path):
         import pandas as pd
