@@ -112,14 +112,12 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
         load_servable,
         load_sharded_servable,
         predict_slides,
+        predict_slides_distributed,
         predict_tfrecords,
         predict_tfrecords_distributed,
     )
 
     if dist_workdir is not None:
-        if slides:
-            raise click.UsageError(
-                "--distributed applies to tfrecord scoring")
         from ..parallel import distributed
 
         distributed.initialize()
@@ -157,7 +155,12 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
 
     key = None if seed is None else jax.random.PRNGKey(seed)
     t0 = time.perf_counter()
-    if slides:
+    if slides and dist_workdir is not None:
+        df = predict_slides_distributed(
+            sv, paths, dist_workdir, tile_um=tile_um, mpp=mpp,
+            qc=None if qc == "none" else qc, outcome=outcome,
+            max_tiles=max_tiles, key=key)
+    elif slides:
         df = predict_slides(sv, paths, tile_um=tile_um, mpp=mpp,
                             qc=None if qc == "none" else qc,
                             outcome=outcome, max_tiles=max_tiles, key=key)

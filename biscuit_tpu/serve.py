@@ -477,6 +477,31 @@ def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
     Single-process this degrades to :func:`predict_tfrecords` semantics:
     every claim is won locally and the merge reads back the one shard.
     """
+    from .data.tfrecord import load_index
+
+    def score_one(i, p, sub):
+        if len(load_index(p)) == 0:
+            # A QC'd-empty tfrecord contributes no rows — same as it
+            # would inside the combined non-distributed batcher (scored
+            # alone it would raise TileBatcher's no-tiles error and abort
+            # the whole fleet).
+            return None
+        return predict_tfrecords(servable, [p], labels=labels,
+                                 outcome=outcome, max_tiles=max_tiles,
+                                 key=sub)
+
+    return _distributed_claim_map(servable, tfrecords, workdir, score_one,
+                                  outcome, key, timeout_ms)
+
+
+def _distributed_claim_map(servable, items, workdir, score_one, outcome,
+                           key, timeout_ms):
+    """Generic claim/score/merge driver behind ``predict_*_distributed``:
+    item ``i`` is claimed atomically across the process group, scored
+    locally via ``score_one(i, item, fold_in(key, i))`` (None = item
+    contributes no rows), shards exchange through the shared ``workdir``,
+    a status exchange aborts every host when one fails, and all hosts
+    return the identical merged frame ordered by the input list."""
     import uuid
 
     import pandas as pd
@@ -487,14 +512,13 @@ def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
     mesh = getattr(servable, "mesh", None)
     if mesh is not None and dist.mesh_spans_processes(mesh):
         raise ValueError(
-            "predict_tfrecords_distributed scores per-host independent "
-            "claims; a ShardedServable here must fan out over THIS host's "
-            "devices only (a process-spanning mesh makes the scoring "
-            "program a fleet-collective that deadlocks against the claim "
-            "schedule) — build it with "
-            "load_sharded_servable(path, mesh=data_parallel_mesh("
-            "jax.local_devices()))")
-    paths = [str(p) for p in tfrecords]
+            "distributed scoring runs per-host independent claims; a "
+            "ShardedServable here must fan out over THIS host's devices "
+            "only (a process-spanning mesh makes the scoring program a "
+            "fleet-collective that deadlocks against the claim schedule) "
+            "— build it with load_sharded_servable(path, "
+            "mesh=data_parallel_mesh(jax.local_devices()))")
+    items = [str(p) for p in items]
     os.makedirs(workdir, exist_ok=True)
     # Claim tokens are namespaced per invocation (same rationale as
     # Experiment.run): coordination-service counters outlive one call, and
@@ -509,22 +533,14 @@ def predict_tfrecords_distributed(servable, tfrecords, workdir, labels=None,
 
     err = None
     try:
-        from .data.tfrecord import load_index
-
         frames = []
-        for i, p in enumerate(paths):
-            if not dist.try_claim(f"{ns}_tfr{i}"):
-                continue
-            if len(load_index(p)) == 0:
-                # A QC'd-empty tfrecord contributes no rows — same as it
-                # would inside the combined non-distributed batcher
-                # (scored alone it would raise TileBatcher's no-tiles
-                # error and abort the whole fleet).
+        for i, p in enumerate(items):
+            if not dist.try_claim(f"{ns}_item{i}"):
                 continue
             sub = jax.random.fold_in(key, i) if key is not None else None
-            df = predict_tfrecords(servable, [p], labels=labels,
-                                   outcome=outcome, max_tiles=max_tiles,
-                                   key=sub)
+            df = score_one(i, p, sub)
+            if df is None:
+                continue
             df.insert(0, "_src", i)
             frames.append(df)
         if frames:
@@ -630,3 +646,27 @@ def predict_slides(servable, slides, tile_um=None, mpp=None, qc="both",
              else np.zeros((0, 2), np.float32))
     unc = np.concatenate(unc_all) if unc_all else None
     return tile_predictions_frame(outcome, pd.DataFrame(rows), probs, unc)
+
+
+def predict_slides_distributed(servable, slides, workdir, tile_um=None,
+                               mpp=None, qc="both", stride_div=1,
+                               roi_method="ignore", outcome="cohort",
+                               max_tiles=None, key=None,
+                               timeout_ms=600_000):
+    """Fleet scoring of whole-slide images: the :func:`predict_slides`
+    loop distributed across a multi-process runtime with the same
+    claim/merge/abort protocol as :func:`predict_tfrecords_distributed`
+    (one claim per slide — extraction-free WSI scoring is the heaviest
+    per-item work in the serving stack, so slides are the natural work
+    unit). Every host returns the identical merged frame, ordered by the
+    input slide list and bitwise independent of fleet size (slide ``i``
+    is always scored with ``fold_in(key, i)``)."""
+
+    def score_one(i, path, sub):
+        return predict_slides(servable, [path], tile_um=tile_um, mpp=mpp,
+                              qc=qc, stride_div=stride_div,
+                              roi_method=roi_method, outcome=outcome,
+                              max_tiles=max_tiles, key=sub)
+
+    return _distributed_claim_map(servable, slides, workdir, score_one,
+                                  outcome, key, timeout_ms)

@@ -628,6 +628,38 @@ class TestPredictSlides:
                                   max_tiles=5)
         assert len(df) == 10  # 5 per slide, not 5 total or 64+64
 
+    def test_distributed_single_process_degrade(self, artifact, slide,
+                                                tmp_path):
+        """predict_slides_distributed: one claim per slide through the
+        shared claim/merge driver (_distributed_claim_map — the fleet
+        protocol itself is pinned cross-process via the tfrecords path in
+        test_distributed.py); slide i always scores with fold_in(key, i)."""
+        sv = serve.load_servable(artifact)
+        key = jax.random.PRNGKey(4)
+        df = serve.predict_slides_distributed(
+            sv, [slide, slide], str(tmp_path / "scored"), mpp=1.0, qc=None,
+            key=key)
+        assert len(df) == 128
+        alone = serve.predict_slides(sv, [slide], mpp=1.0, qc=None,
+                                     key=jax.random.fold_in(key, 1))
+        np.testing.assert_array_equal(
+            df.cohort_y_pred1.to_numpy()[64:],
+            alone.cohort_y_pred1.to_numpy())
+        # CLI: --slides composes with --distributed.
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.predict import main
+
+        out = str(tmp_path / "dslides.csv")
+        r = CliRunner().invoke(main, [
+            artifact, slide, "--slides", "--mpp", "1.0", "--qc", "none",
+            "-o", out, "--no-sharded", "--seed", "4",
+            "--distributed", str(tmp_path / "scored_cli")])
+        assert r.exit_code == 0, r.output
+        import pandas as pd
+
+        assert len(pd.read_csv(out)) == 64
+
     def test_cli_slides_mode(self, artifact, slide, tmp_path):
         import pandas as pd
         from click.testing import CliRunner
