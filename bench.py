@@ -81,8 +81,10 @@ def build_uq_step(jax, jnp, corpus_paths=None):
     params, batch_stats = variables["params"], variables["batch_stats"]
     normalizer = make_normalizer(hp.normalizer)
 
-    # Opt-in w8a8 trunk (ops/int8_trunk.py; pending the on-chip probe —
-    # the headline stays bf16 until accuracy + speedup are both recorded).
+    # Opt-in w8a8 trunk (ops/int8_trunk.py; measured on chip r4 and
+    # acquitted as a throughput lever — e2e neutral vs bf16, table in the
+    # module STATUS — so the headline stays bf16; kept for
+    # weight-memory-constrained serving).
     qw = None
     if os.environ.get("BISCUIT_BENCH_INT8") == "1":
         from biscuit_tpu.ops.int8_trunk import (

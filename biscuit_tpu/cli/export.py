@@ -33,7 +33,14 @@ from ..utils_log import log
               help="Bake the fused Pallas TPU kernels (default: auto — "
                    "fused when exporting on a TPU host). --no-fused "
                    "exports portable pure-StableHLO.")
-def main(model_dir, out, batch_size, k, platforms, use_fused):
+@click.option("--features/--no-features", "with_features", default=True,
+              show_default=True,
+              help="Also bake the feature program (trunk activations + "
+                   "K-pass head) so UMAP mosaics run off the artifact.")
+@click.option("--features-k", default=8, show_default=True, type=int,
+              help="MC-dropout samples of the feature program's head.")
+def main(model_dir, out, batch_size, k, platforms, use_fused,
+         with_features, features_k):
     """Export MODEL_DIR (params.json + model.msgpack) to a servable."""
     from ..serve import export_servable
 
@@ -44,6 +51,8 @@ def main(model_dir, out, batch_size, k, platforms, use_fused):
         k=k,
         platforms=platforms or None,
         use_fused=use_fused,
+        with_features=with_features,
+        features_k=features_k,
     )
     import os
 

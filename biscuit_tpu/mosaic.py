@@ -112,7 +112,7 @@ def embed_2d(features: np.ndarray, seed: int = 0):
 
 
 def generate_features(
-    model_path: str,
+    model_path,
     tfrecords: List[str],
     max_tiles: int = 100,
     cache: Optional[str] = None,
@@ -122,16 +122,22 @@ def generate_features(
 ):
     """Penultimate-activation dump + per-tile UQ predictions.
 
+    ``model_path`` may be a trained model directory, a servable artifact
+    path (exported with ``with_features=True``), or an already-loaded
+    ``serve.Servable``/``ShardedServable`` — mosaics and SlideMaps then run
+    off the deployment artifact alone, no checkpoint or model code
+    (the serving twin of the reference's generate_features call,
+    /root/reference/results.py:273-281). In artifact mode ``batch_size``
+    and ``k`` are baked into the exported program and the arguments are
+    ignored (a mismatched ``k`` logs a note).
+
     Returns (features (N, F), meta list, tiles or None). Features come from
     the deterministic trunk; probs/uncertainty from the K-pass MC head.
     """
     import jax
-    import jax.numpy as jnp
 
-    from .data.normalize import make_normalizer, per_image_standardization
     from .data.pipeline import TileBatcher
-    from .train.trainer import load_checkpoint
-    from .train.uq import mc_dropout_head
+    from .serve import Servable, ShardedServable, is_servable_artifact
 
     if cache and os.path.exists(cache):
         blob = np.load(cache, allow_pickle=True)
@@ -139,32 +145,64 @@ def generate_features(
             blob["tiles"] if "tiles" in blob.files else None
         )
 
-    model, params, batch_stats, hp, _meta = load_checkpoint(model_path)
-    normalizer = make_normalizer(hp.normalizer)
+    servable = None
+    if isinstance(model_path, (Servable, ShardedServable)):
+        servable = model_path
+    elif isinstance(model_path, (str, os.PathLike)) and is_servable_artifact(
+            str(model_path)):
+        from .serve import load_servable
 
-    @jax.jit
-    def step(p, bs, imgs, key):
-        x = imgs.astype(jnp.float32)
-        if normalizer is not None:
-            x = normalizer(x)
-        x = per_image_standardization(x)
-        feats = model.apply(
-            {"params": p, "batch_stats": bs}, x, train=False,
-            method="features",
-        )
-        mean, std = mc_dropout_head(model, p, bs, feats, key, k=k,
-                                    use_pallas=False)
-        return feats, mean, std
+        servable = load_servable(str(model_path))
+
+    if servable is not None:
+        if not servable.has_features:
+            raise ValueError(
+                "this servable artifact carries no feature program; "
+                "re-export with export_servable(..., with_features=True)")
+        if servable.features_k is not None and k != servable.features_k:
+            log.info(f"servable feature head uses baked k="
+                     f"{servable.features_k} (requested k={k} ignored)")
+        batch_size = int(getattr(servable, "global_batch",
+                                 servable.batch_size))
+        tile_px = servable.tile_px
+        step = servable.features_exact
+    else:
+        import jax.numpy as jnp
+
+        from .data.normalize import make_normalizer, per_image_standardization
+        from .train.trainer import load_checkpoint
+        from .train.uq import mc_dropout_head
+
+        model, params, batch_stats, hp, _meta = load_checkpoint(model_path)
+        normalizer = make_normalizer(hp.normalizer)
+        tile_px = hp.tile_px
+
+        @jax.jit
+        def _step(p, bs, imgs, key):
+            x = imgs.astype(jnp.float32)
+            if normalizer is not None:
+                x = normalizer(x)
+            x = per_image_standardization(x)
+            feats = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=False,
+                method="features",
+            )
+            mean, std = mc_dropout_head(model, p, bs, feats, key, k=k,
+                                        use_pallas=False)
+            return feats, mean, std
+
+        def step(imgs, key):
+            return _step(params, batch_stats, imgs, key)
 
     batcher = TileBatcher(
         tfrecords, {}, batch_size=batch_size, shuffle=False, infinite=False,
-        max_tiles=max_tiles, tile_px=hp.tile_px,
+        max_tiles=max_tiles, tile_px=tile_px,
     )
     feats_all, meta, tiles_all = [], [], []
     key = jax.random.PRNGKey(0)
     for batch in batcher:
         key, sub = jax.random.split(key)
-        feats, mean, std = step(params, batch_stats, batch["image"], sub)
+        feats, mean, std = step(batch["image"], key=sub)
         m = np.asarray(batch["mask"])
         feats = np.asarray(feats)[m]
         mean = np.asarray(mean)[m]

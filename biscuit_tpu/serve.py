@@ -52,7 +52,13 @@ import jax.numpy as jnp
 import numpy as np
 
 _MAGIC = b"BISCUIT-SERVABLE\n"
-_FORMAT_VERSION = 1
+# v1: one exported program (the UQ call) fills the whole body.
+# v2: the body holds named programs; header["programs"] maps name ->
+#     [offset, length] into the body. "uq" is mandatory; "features"
+#     (pooled-trunk activations + K-pass head, E9/mosaic) is optional.
+# Readers accept both; writers emit v2.
+_FORMAT_VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 
 
 def _weights_digest(model_path: str) -> Optional[str]:
@@ -77,6 +83,8 @@ def export_servable(
     k: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     use_fused: Optional[bool] = None,
+    with_features: bool = True,
+    features_k: int = 8,
 ) -> str:
     """Export a saved model dir to a single-file UQ servable.
 
@@ -95,6 +103,14 @@ def export_servable(
         use_fused: bake the fused Pallas kernels (None = auto: fused on
             a TPU exporting host, XLA elsewhere; False = portable pure
             StableHLO; True = require TPU kernels).
+        with_features: also export a feature program ``(tiles, key) ->
+            (pooled trunk features, probs_mean, uncertainty)`` so UMAP
+            mosaics / SlideMaps (E9, reference results.py:269-306) run
+            off the artifact alone — ``mosaic.generate_features`` accepts
+            the artifact path directly.
+        features_k: MC-dropout samples of the feature program's head pass
+            (the mosaic labeler needs coarser uncertainty than serving;
+            mosaic.generate_features' default).
 
     Returns the artifact path.
     """
@@ -104,7 +120,7 @@ def export_servable(
         per_image_standardization,
     )
     from .train.trainer import load_checkpoint
-    from .train.uq import mc_dropout_predict
+    from .train.uq import mc_dropout_head, mc_dropout_predict, trunk_features
 
     model, params, batch_stats, hp, _meta = load_checkpoint(model_path)
     k = int(k if k is not None else hp.uq_samples)
@@ -155,7 +171,24 @@ def export_servable(
     )
     exp_kw = {} if platforms is None else {"platforms": tuple(platforms)}
     exported = jax.export.export(jax.jit(infer), **exp_kw)(*args)
-    blob = bytes(exported.serialize())
+    blobs = {"uq": bytes(exported.serialize())}
+
+    if with_features:
+        head_kw = {"use_pallas": use_fused} if use_fused is not None else {}
+
+        def infer_features(images_u8, key_data):
+            x = preprocess(images_u8)
+            key = jax.random.wrap_key_data(key_data)
+            feats = trunk_features(model, params, batch_stats, x,
+                                   **({"fused_trunk": use_fused}
+                                      if use_fused is not None else {}))
+            mean, std = mc_dropout_head(model, params, batch_stats, feats,
+                                        key, k=int(features_k), **head_kw)
+            return feats, mean, std
+
+        exported_feats = jax.export.export(jax.jit(infer_features),
+                                           **exp_kw)(*args)
+        blobs["features"] = bytes(exported_feats.serialize())
 
     header = {
         "format_version": _FORMAT_VERSION,
@@ -164,6 +197,7 @@ def export_servable(
         "tile_um": hp.tile_um,
         "batch_size": batch_size,
         "k": k,
+        "features_k": int(features_k) if with_features else None,
         "normalizer": hp.normalizer,
         "platforms": list(exported.platforms),
         "key_shape": list(key_data.shape),
@@ -172,6 +206,11 @@ def export_servable(
         "weights_blake2b": _weights_digest(model_path),
         "fused": use_fused,
     }
+    programs, off = {}, 0
+    for name, blob in blobs.items():
+        programs[name] = [off, len(blob)]
+        off += len(blob)
+    header["programs"] = programs
     if out_path is None:
         out_path = os.path.join(model_path, "servable.biscuit")
     hdr = json.dumps(header).encode()
@@ -181,7 +220,8 @@ def export_servable(
             f.write(_MAGIC)
             f.write(len(hdr).to_bytes(8, "little"))
             f.write(hdr)
-            f.write(blob)
+            for blob in blobs.values():
+                f.write(blob)
         os.replace(tmp, out_path)
     except BaseException:
         try:
@@ -205,7 +245,9 @@ def is_servable_artifact(path: str) -> bool:
         return False
 
 
-def _read_container(path: str) -> Tuple[dict, bytes]:
+def _read_container(path: str) -> Tuple[dict, dict]:
+    """Returns (header, {program_name: serialized_blob}). v1 bodies are a
+    single unnamed UQ program; v2 bodies are indexed by header['programs']."""
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -215,12 +257,25 @@ def _read_container(path: str) -> Tuple[dict, bytes]:
         if n <= 0 or n > (1 << 20):
             raise ValueError(f"{path}: implausible header length {n}")
         header = json.loads(f.read(n))
-        if header.get("format_version") != _FORMAT_VERSION:
+        version = header.get("format_version")
+        if version not in _READABLE_VERSIONS:
             raise ValueError(
-                f"{path}: servable format {header.get('format_version')} "
-                f"not supported (this build reads {_FORMAT_VERSION})")
-        blob = f.read()
-    return header, blob
+                f"{path}: servable format {version} not supported "
+                f"(this build reads {_READABLE_VERSIONS})")
+        body = f.read()
+    if version == 1:
+        return header, {"uq": body}
+    index = header.get("programs") or {}
+    if "uq" not in index:
+        raise ValueError(f"{path}: v2 servable missing the 'uq' program")
+    programs = {}
+    for name, (off, length) in index.items():
+        if off < 0 or off + length > len(body):
+            raise ValueError(
+                f"{path}: program {name!r} spans [{off}, {off + length}) "
+                f"outside the {len(body)}-byte body")
+        programs[name] = body[off:off + length]
+    return header, programs
 
 
 def _unpack_header(obj, header: dict) -> None:
@@ -232,21 +287,25 @@ def _unpack_header(obj, header: dict) -> None:
     # artifacts fall back to the caller supplying it (predict_slides).
     obj.tile_um = header.get("tile_um")
     obj.k = int(header["k"])
+    fk = header.get("features_k")
+    obj.features_k = int(fk) if fk is not None else None
     obj._key = jax.random.PRNGKey(0)
 
 
-def _chunked_uq_call(call_exact, step: int, tiles, key):
+def _chunked_call(call_exact, step: int, tiles, key):
     """Any-n driver over a static-batch exact program: zero-pad each
     partial chunk to ``step``, strip the padding rows. Shared by
-    ``Servable.__call__`` and ``ShardedServable.__call__`` so the padding
-    contract lives in exactly one place. ``n == 0`` still dispatches one
-    all-padding batch (compile-cached) so the output carries the real
-    class dimension — (0, C) out, keeping the any-n contract."""
+    ``Servable``/``ShardedServable`` ``__call__``/``features`` so the
+    padding contract lives in exactly one place. ``n == 0`` still
+    dispatches one all-padding batch (compile-cached) so outputs carry
+    their real trailing dimensions — (0, C) out, keeping the any-n
+    contract. Works for any tuple-arity exact program ((mean, std) for
+    the UQ call; (feats, mean, std) for the feature call)."""
     tiles = np.asarray(tiles)
     if tiles.ndim == 3:
         tiles = tiles[None]
     n = tiles.shape[0]
-    means, stds = [], []
+    outs = None
     for i in range(0, max(n, 1), step):
         chunk = tiles[i:i + step]
         n_real = chunk.shape[0]
@@ -256,10 +315,13 @@ def _chunked_uq_call(call_exact, step: int, tiles, key):
                                  chunk.dtype)], axis=0)
         # Distinct internal keys per chunk; an explicit key is the caller
         # pinning determinism and applies to every chunk.
-        m, s = call_exact(chunk, key=key)
-        means.append(np.asarray(m)[:n_real])
-        stds.append(np.asarray(s)[:n_real])
-    return np.concatenate(means, axis=0), np.concatenate(stds, axis=0)
+        res = call_exact(chunk, key=key)
+        res = res if isinstance(res, (tuple, list)) else (res,)
+        if outs is None:
+            outs = [[] for _ in res]
+        for acc, r in zip(outs, res):
+            acc.append(np.asarray(r)[:n_real])
+    return tuple(np.concatenate(acc, axis=0) for acc in outs)
 
 
 class Servable:
@@ -274,14 +336,23 @@ class Servable:
     """
 
     def __init__(self, path: str):
-        header, blob = _read_container(path)
+        header, programs = _read_container(path)
         _unpack_header(self, header)
-        self._exported = jax.export.deserialize(bytearray(blob))
+        self._programs = programs
+        self._exported = jax.export.deserialize(bytearray(programs["uq"]))
         self._call = jax.jit(self._exported.call)
+        self._features_call = None  # lazily deserialized
 
     @property
     def platforms(self):
         return tuple(self.header["platforms"])
+
+    @property
+    def has_features(self) -> bool:
+        """True if the artifact carries the feature program (exported with
+        ``with_features=True``) — required by ``features``/``features_exact``
+        and by ``mosaic.generate_features`` over an artifact."""
+        return "features" in self._programs
 
     def _next_key_data(self, key):
         if key is None:
@@ -290,16 +361,38 @@ class Servable:
 
     def call_exact(self, tiles, key=None):
         """Exact exported program: tiles must be (batch_size, px, px, 3)."""
+        return self._call(self._check_exact(tiles), self._next_key_data(key))
+
+    def _check_exact(self, tiles):
         tiles = jnp.asarray(tiles, jnp.uint8)
         want = (self.batch_size, self.tile_px, self.tile_px, 3)
         if tuple(tiles.shape) != want:
             raise ValueError(
                 f"servable expects tiles of shape {want}, got "
                 f"{tuple(tiles.shape)}; use __call__ for any-n batches")
-        return self._call(tiles, self._next_key_data(key))
+        return tiles
 
     def __call__(self, tiles, key=None):
-        return _chunked_uq_call(self.call_exact, self.batch_size, tiles, key)
+        return _chunked_call(self.call_exact, self.batch_size, tiles, key)
+
+    def features_exact(self, tiles, key=None):
+        """Exact feature program: ``(batch_size, px, px, 3) uint8 ->
+        (pooled trunk features, probs_mean, uncertainty)``."""
+        if not self.has_features:
+            raise ValueError(
+                "this artifact was exported without the feature program; "
+                "re-export with export_servable(..., with_features=True)")
+        if self._features_call is None:
+            self._features_call = jax.jit(jax.export.deserialize(
+                bytearray(self._programs["features"])).call)
+        return self._features_call(self._check_exact(tiles),
+                                   self._next_key_data(key))
+
+    def features(self, tiles, key=None):
+        """Any-n feature extraction off the artifact alone (E9): returns
+        ``(feats (n, F), probs_mean (n, C), uncertainty (n, C))``."""
+        return _chunked_call(self.features_exact, self.batch_size, tiles,
+                             key)
 
 
 def load_servable(path: str) -> Servable:
@@ -331,11 +424,10 @@ class ShardedServable:
     """
 
     def __init__(self, path: str, mesh=None, axis: str = "data"):
-        import jax.sharding as jsh
-
-        header, blob = _read_container(path)
+        header, programs = _read_container(path)
         _unpack_header(self, header)  # batch_size is per device
-        self._exported = jax.export.deserialize(bytearray(blob))
+        self._programs = programs
+        self._exported = jax.export.deserialize(bytearray(programs["uq"]))
         if mesh is None:
             from .parallel.mesh import data_parallel_mesh
 
@@ -344,9 +436,16 @@ class ShardedServable:
         self.axis = axis
         self.n_shards = int(mesh.shape[axis])
         self.global_batch = self.batch_size * self.n_shards
+        self._call = self._shard_mapped(self._exported.call)
+        self._features_call = None  # lazily deserialized + shard-mapped
+
+    def _shard_mapped(self, call):
+        """jit(shard_map) wrapper fanning an exported per-device program
+        over the mesh: each shard gets its (batch_size, ...) slice of the
+        global batch and its own folded key."""
+        import jax.sharding as jsh
 
         P = jsh.PartitionSpec
-        call = self._exported.call
 
         def body(tiles_local, kd_local):
             # tiles_local: (batch_size, px, px, 3) — this shard's slice of
@@ -354,15 +453,19 @@ class ShardedServable:
             # folded key.
             return call(tiles_local, kd_local[0])
 
-        self._call = jax.jit(jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=P(axis),
+        return jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis)),
+            out_specs=P(self.axis),
         ))
 
     @property
     def platforms(self):
         return tuple(self.header["platforms"])
+
+    @property
+    def has_features(self) -> bool:
+        return "features" in self._programs
 
     def _shard_key_data(self, key):
         if key is None:
@@ -374,6 +477,10 @@ class ShardedServable:
 
     def call_exact(self, tiles, key=None):
         """Exact sharded program: tiles must be (global_batch, px, px, 3)."""
+        return self._call(self._check_exact(tiles),
+                          self._shard_key_data(key))
+
+    def _check_exact(self, tiles):
         tiles = jnp.asarray(tiles, jnp.uint8)
         want = (self.global_batch, self.tile_px, self.tile_px, 3)
         if tuple(tiles.shape) != want:
@@ -381,11 +488,28 @@ class ShardedServable:
                 f"sharded servable expects tiles of shape {want} "
                 f"({self.n_shards} shards x batch {self.batch_size}), got "
                 f"{tuple(tiles.shape)}; use __call__ for any-n batches")
-        return self._call(tiles, self._shard_key_data(key))
+        return tiles
 
     def __call__(self, tiles, key=None):
-        return _chunked_uq_call(self.call_exact, self.global_batch, tiles,
-                                key)
+        return _chunked_call(self.call_exact, self.global_batch, tiles, key)
+
+    def features_exact(self, tiles, key=None):
+        """Exact sharded feature program: (global_batch, px, px, 3) ->
+        (feats, probs_mean, uncertainty), each sharded over the mesh."""
+        if not self.has_features:
+            raise ValueError(
+                "this artifact was exported without the feature program; "
+                "re-export with export_servable(..., with_features=True)")
+        if self._features_call is None:
+            self._features_call = self._shard_mapped(jax.export.deserialize(
+                bytearray(self._programs["features"])).call)
+        return self._features_call(self._check_exact(tiles),
+                                   self._shard_key_data(key))
+
+    def features(self, tiles, key=None):
+        """Any-n sharded feature extraction: (feats, probs_mean, unc)."""
+        return _chunked_call(self.features_exact, self.global_batch, tiles,
+                             key)
 
 
 def load_sharded_servable(path: str, mesh=None,

@@ -52,7 +52,6 @@ def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
         (probs_mean (B, C), probs_std (B, C)) — slideflow's 'y_pred' and
         'uncertainty' columns.
     """
-    variables = {"params": params, "batch_stats": batch_stats}
     if int8_qw is not None:
         from ..models.xception import ARCHS
         from ..ops.int8_trunk import trunk_features_int8
@@ -63,6 +62,18 @@ def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
                                     fused_trunk=fused_trunk)
         return mc_dropout_head(model, params, batch_stats, feats, key, k,
                                use_pallas=use_pallas)
+    feats = trunk_features(model, params, batch_stats, x,
+                           fused_trunk=fused_trunk)
+    return mc_dropout_head(model, params, batch_stats, feats, key, k,
+                           use_pallas=use_pallas)
+
+
+def trunk_features(model, params, batch_stats, x,
+                   fused_trunk: Optional[bool] = None):
+    """Deterministic pooled-trunk features with the same backend selection
+    as :func:`mc_dropout_predict` (fused Pallas middle flow on a real TPU
+    for Xception archs, XLA otherwise). Shared by live UQ inference, the
+    feature/mosaic dump (mosaic.py E9), and servable export (serve.py)."""
     if fused_trunk is None:
         from ..models.xception import ARCHS
         from ..ops.fused_sepconv import use_fused_middle
@@ -71,11 +82,9 @@ def mc_dropout_predict(model, params, batch_stats, x, key, k: int = 30,
     if fused_trunk:
         from ..ops.fused_sepconv import trunk_features_fused
 
-        feats = trunk_features_fused(model, params, batch_stats, x)
-    else:
-        feats = model.apply(variables, x, train=False, method="features")
-    return mc_dropout_head(model, params, batch_stats, feats, key, k,
-                           use_pallas=use_pallas)
+        return trunk_features_fused(model, params, batch_stats, x)
+    variables = {"params": params, "batch_stats": batch_stats}
+    return model.apply(variables, x, train=False, method="features")
 
 
 def mc_dropout_head(model, params, batch_stats, feats, key, k: int = 30,

@@ -56,13 +56,38 @@ class TestContainer:
     def test_header(self, artifact, model_dir):
         sv = serve.load_servable(artifact)
         h = sv.header
-        assert h["format_version"] == 1
+        assert h["format_version"] == 2
         assert h["arch"] == "xception_tiny"
         assert h["batch_size"] == BATCH and sv.batch_size == BATCH
         assert h["tile_px"] == 32
         assert h["k"] == 8  # tiny_hp uq_samples
         assert h["weights_blake2b"] == serve._weights_digest(model_dir)
         assert "cpu" in sv.platforms
+        # v2 carries named programs; the default export bakes features too.
+        assert set(h["programs"]) == {"uq", "features"}
+        assert sv.has_features and sv.features_k == 8
+
+    def test_reads_v1_containers(self, model_dir, tmp_path):
+        """Backward compat: a v1 body (one unnamed UQ program filling the
+        container) still loads; features are absent by construction."""
+        p2 = serve.export_servable(model_dir, batch_size=4,
+                                   out_path=str(tmp_path / "v2.biscuit"),
+                                   with_features=False)
+        header, programs = serve._read_container(p2)
+        v1_header = {k: v for k, v in header.items()
+                     if k not in ("programs", "features_k")}
+        v1_header["format_version"] = 1
+        hdr = json.dumps(v1_header).encode()
+        p1 = tmp_path / "v1.biscuit"
+        p1.write_bytes(serve._MAGIC + len(hdr).to_bytes(8, "little") + hdr
+                       + programs["uq"])
+        sv = serve.load_servable(str(p1))
+        assert sv.header["format_version"] == 1
+        assert not sv.has_features and sv.features_k is None
+        m, s = sv(_tiles(4))
+        assert m.shape == (4, 2)
+        with pytest.raises(ValueError, match="without the feature program"):
+            sv.features_exact(_tiles(4))
 
     def test_default_output_path(self, artifact, model_dir):
         assert artifact.endswith("servable.biscuit")
@@ -183,6 +208,135 @@ class TestPadding:
         assert m.shape == (0, 2) and s.shape[0] == 0
 
 
+class TestFeatures:
+    """The feature program (E9 off the artifact): pooled-trunk activations
+    + K-pass head baked alongside the UQ program, so UMAP mosaics and
+    SlideMaps run from the deployment artifact alone."""
+
+    def test_matches_live_feature_path(self, artifact, model_dir):
+        """features_exact == the live trunk-features + mc_dropout_head
+        chain on the same key (the exact computation mosaic.generate_features
+        runs from a checkpoint)."""
+        import jax.numpy as jnp
+
+        from biscuit_tpu.data.normalize import per_image_standardization
+        from biscuit_tpu.train.uq import mc_dropout_head
+
+        model, params, batch_stats, hp, _ = load_checkpoint(model_dir)
+        normalizer = make_normalizer(hp.normalizer)
+        tiles = _tiles(BATCH, seed=2)
+        key = jax.random.PRNGKey(31)
+        sv = serve.load_servable(artifact)
+        got_f, got_m, got_s = sv.features_exact(tiles, key=key)
+
+        x = jnp.asarray(tiles).astype(jnp.float32)
+        if normalizer is not None:
+            x = normalizer(x)
+        x = per_image_standardization(x)
+        want_f = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False, method="features")
+        want_m, want_s = mc_dropout_head(model, params, batch_stats, want_f,
+                                         key, k=sv.features_k)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   rtol=5e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   rtol=5e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=5e-4, atol=1e-4)
+
+    def test_any_n_contract(self, artifact):
+        sv = serve.load_servable(artifact)
+        f, m, s = sv.features(_tiles(BATCH + 3, seed=4))
+        assert f.shape[0] == BATCH + 3 and f.ndim == 2
+        assert m.shape == (BATCH + 3, 2) and s.shape == (BATCH + 3, 2)
+        f0, m0, s0 = sv.features(np.zeros((0, 32, 32, 3), np.uint8))
+        assert f0.shape[0] == 0 and m0.shape == (0, 2)
+
+    def test_sharded_features_match_per_shard_singles(self, artifact):
+        single = serve.load_servable(artifact)
+        sharded = serve.load_sharded_servable(artifact)
+        assert sharded.has_features
+        tiles = _tiles(sharded.global_batch, seed=6)
+        key = jax.random.PRNGKey(41)
+        got_f, got_m, _ = sharded.features_exact(tiles, key=key)
+        got_f, got_m = np.asarray(got_f), np.asarray(got_m)
+        b = sharded.batch_size
+        for i in range(sharded.n_shards):
+            want_f, want_m, _ = single.features_exact(
+                tiles[i * b:(i + 1) * b], key=jax.random.fold_in(key, i))
+            np.testing.assert_allclose(got_f[i * b:(i + 1) * b],
+                                       np.asarray(want_f),
+                                       rtol=2e-5, atol=1e-6)
+            np.testing.assert_allclose(got_m[i * b:(i + 1) * b],
+                                       np.asarray(want_m),
+                                       rtol=2e-5, atol=1e-6)
+
+    def test_generate_features_from_artifact(self, artifact, model_dir,
+                                             tmp_path):
+        """mosaic.generate_features accepts the artifact path directly and
+        reproduces the checkpoint-driven dump (same batch size + key
+        schedule -> same rows up to the export jit boundary), then the
+        SlideMap/mosaic flow runs off it."""
+        import io
+
+        from PIL import Image
+
+        from biscuit_tpu.data.tfrecord import TFRecordWriter
+        from biscuit_tpu.mosaic import (
+            generate_features,
+            generate_mosaic,
+            slide_map_from_features,
+        )
+
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            slide = f"fs{i}"
+            with TFRecordWriter(str(tmp_path / f"{slide}.tfrecords")) as w:
+                for t in range(6):
+                    buf = io.BytesIO()
+                    Image.fromarray(rng.integers(0, 256, (32, 32, 3),
+                                                 dtype=np.uint8)
+                                    ).save(buf, format="PNG")
+                    w.write_tile(slide, buf.getvalue(), loc_x=t, loc_y=t)
+        paths = sorted(str(p) for p in tmp_path.glob("*.tfrecords"))
+
+        feats_a, meta_a, tiles_a = generate_features(
+            artifact, paths, max_tiles=6, keep_tiles=True)
+        # The live path with the artifact's batch size and k: identical
+        # batch boundaries -> identical key schedule.
+        feats_c, meta_c, _ = generate_features(
+            model_dir, paths, max_tiles=6, batch_size=BATCH, k=8)
+        assert feats_a.shape == feats_c.shape == (12, feats_a.shape[1])
+        np.testing.assert_allclose(feats_a, feats_c, rtol=5e-4, atol=1e-4)
+        assert [m["slide"] for m in meta_a] == [m["slide"] for m in meta_c]
+        for ma, mc in zip(meta_a, meta_c):
+            assert ma["loc"] == mc["loc"]
+            np.testing.assert_allclose(ma["probs"], mc["probs"],
+                                       rtol=5e-4, atol=1e-4)
+            np.testing.assert_allclose(ma["uncertainty"], mc["uncertainty"],
+                                       rtol=5e-4, atol=1e-4)
+
+        # The downstream E9 surface runs off the artifact dump alone.
+        sm = slide_map_from_features(feats_a, meta_a, tiles_a)
+        sm.label_by_uncertainty()
+        out = sm.save(str(tmp_path / "map.png"))
+        assert out.endswith(".png")
+        mosaic = generate_mosaic(feats_a, meta_a, tiles_a, grid=4)
+        assert mosaic.shape == (4 * 32, 4 * 32, 3)
+
+    def test_featureless_artifact_raises_in_generate_features(
+            self, model_dir, tmp_path):
+        from biscuit_tpu.mosaic import generate_features
+
+        p = serve.export_servable(model_dir, batch_size=4,
+                                  out_path=str(tmp_path / "nf.biscuit"),
+                                  with_features=False)
+        sv = serve.load_servable(p)
+        assert not sv.has_features
+        with pytest.raises(ValueError, match="no feature program"):
+            generate_features(p, ["unused.tfrecords"])
+
+
 class TestExportCLI:
     def test_cli_exports_and_prints_path(self, model_dir, tmp_path):
         from click.testing import CliRunner
@@ -230,8 +384,8 @@ class TestServableTPU:
         path = serve.export_servable(sub, batch_size=64)
 
         # The auto-gated artifact on a TPU host bakes the Pallas kernels.
-        _, blob = serve._read_container(path)
-        assert b"tpu_custom_call" in blob
+        _, programs = serve._read_container(path)
+        assert b"tpu_custom_call" in programs["uq"]
 
         sv = serve.load_servable(path)
         assert "tpu" in sv.platforms
