@@ -44,9 +44,16 @@ def _expand(paths, slides=False):
     return out
 
 
-def _labels_from_annotations(annotations, outcome):
+def _labels_from_annotations(annotations, outcome, classes=None):
     """slide -> int label with the Dataset.labels convention (sorted unique
-    outcome values -> stable class index; dataset.py:83-98)."""
+    outcome values -> stable class index; dataset.py:83-98).
+
+    ``classes`` pins the TRAINING-time class order (from --classes or the
+    artifact's ``outcome_labels`` header). Without it, a predict-time CSV
+    holding a subset (one class) or a superset (an extra value) of the
+    training outcomes would silently remap indices relative to training,
+    flipping y_true0 and every downstream AUC — so a mismatch is an error,
+    not a reindex."""
     import pandas as pd
 
     # dtype=str matches the project/Dataset.labels convention (project.py
@@ -58,7 +65,24 @@ def _labels_from_annotations(annotations, outcome):
         raise click.UsageError(
             f"annotations must have 'slide' and {outcome!r} columns")
     sub = df[["slide", outcome]].dropna()
-    unique = sorted(sub[outcome].unique().tolist())
+    seen = sorted(sub[outcome].unique().tolist())
+    if classes is not None:
+        classes = [str(c) for c in classes]
+        extra = [v for v in seen if v not in classes]
+        if extra:
+            raise click.UsageError(
+                f"annotations carry outcome values {extra} not in the "
+                f"training class order {classes} — wrong annotations file "
+                "or wrong --outcome column")
+        unique = classes
+    else:
+        unique = seen
+        if len(seen) < 2:
+            raise click.UsageError(
+                f"annotations contain only one outcome value ({seen}); "
+                "class indices derived from them would not match training "
+                "— pass --classes with the training label order (or use an "
+                "artifact exported with outcome_labels metadata)")
     index = {name: i for i, name in enumerate(unique)}
     return {s: index[v] for s, v in zip(sub["slide"], sub[outcome])}, unique
 
@@ -79,9 +103,16 @@ def _labels_from_annotations(annotations, outcome):
                    "sharded when more than one device is visible).")
 @click.option("--max-tiles", default=None, type=int,
               help="Per-tfrecord (or, with --slides, per-slide) tile cap.")
+@click.option("--classes", default=None,
+              help="Comma-separated training class order (overrides the "
+                   "artifact's outcome_labels header); y_true indices are "
+                   "validated against it instead of being derived from "
+                   "whatever values the annotations happen to contain.")
 @click.option("--seed", default=None, type=int,
-              help="PRNG seed pinning the MC-dropout streams "
-                   "(deterministic re-runs); default: fresh streams.")
+              help="PRNG seed pinning the MC-dropout streams; default: "
+                   "the servable's fixed internal stream (PRNGKey(0)) — "
+                   "unseeded runs in a fresh process are also "
+                   "deterministic.")
 @click.option("--parquet", is_flag=True,
               help="Write parquet.gzip instead of CSV (the slideflow 1.2 "
                    "variant the reference also reads).")
@@ -102,7 +133,7 @@ def _labels_from_annotations(annotations, outcome):
                    "through this SHARED directory. The output file is "
                    "written by the main process only.")
 def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
-         seed, parquet, slides, tile_um, mpp, qc, dist_workdir):
+         classes, seed, parquet, slides, tile_um, mpp, qc, dist_workdir):
     """Score TFRECORDS (files or directories of {slide}.tfrecords — or
     slide images with --slides) with ARTIFACT and write a
     reference-contract tile predictions frame."""
@@ -123,14 +154,6 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
         distributed.initialize()
 
     paths = _expand(tfrecords, slides=slides)
-    labels = {}
-    if annotations is not None:
-        if slides:
-            raise click.UsageError(
-                "--annotations applies to tfrecord scoring (slides carry "
-                "no tile labels)")
-        labels, unique = _labels_from_annotations(annotations, outcome)
-        log.info(f"labels: {unique} from {annotations}")
 
     if sharded is None:
         sharded = len(jax.local_devices()) > 1
@@ -152,6 +175,24 @@ def main(artifact, tfrecords, out, annotations, outcome, sharded, max_tiles,
     log.info(
         f"{'sharded ' if sharded else ''}servable: {sv.tile_px}px, "
         f"K={sv.k}, {step} tiles/dispatch, platforms={sv.platforms}")
+
+    labels = {}
+    if annotations is not None:
+        if slides:
+            raise click.UsageError(
+                "--annotations applies to tfrecord scoring (slides carry "
+                "no tile labels)")
+        # Training class order: explicit --classes wins, else the
+        # artifact's outcome_labels header; without either, derivation
+        # from the annotations requires >=2 classes (guarded in
+        # _labels_from_annotations).
+        pinned = ([c for c in classes.split(",")] if classes
+                  else sv.header.get("outcome_labels"))
+        labels, unique = _labels_from_annotations(annotations, outcome,
+                                                  classes=pinned)
+        src = ("--classes" if classes else
+               "artifact" if pinned else "annotations")
+        log.info(f"labels: {unique} (order from {src})")
 
     key = None if seed is None else jax.random.PRNGKey(seed)
     t0 = time.perf_counter()

@@ -119,6 +119,15 @@ def _strip(name) -> str:
     return name.split("/")[-1].split(":")[0]
 
 
+def _natural_key(name):
+    """Sort key treating digit runs numerically: dense_2 < dense_10."""
+    import re
+
+    if isinstance(name, bytes):
+        name = name.decode()
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
+
+
 def read_keras_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     """Read a Keras-layout weight file into {layer: {weight: array}}.
 
@@ -139,9 +148,18 @@ def read_keras_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     out = {}
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
+        names = root.attrs.get("layer_names", None)
+        if names is None:
+            # No layer_names attr: h5py yields keys in ALPHABETICAL order,
+            # where Keras auto-names break graph order ('dense_10' sorts
+            # before 'dense_2') — with >=10 equal-width hidden layers the
+            # structural Dense matching in convert_keras_head would then
+            # load weights sideways with every shape still validating.
+            # Natural-sort (split trailing index) restores graph order for
+            # auto-named layers.
+            names = sorted(root.keys(), key=_natural_key)
         layer_names = [
-            n.decode() if isinstance(n, bytes) else n
-            for n in root.attrs.get("layer_names", list(root.keys()))
+            n.decode() if isinstance(n, bytes) else n for n in names
         ]
         for layer in layer_names:
             g = root[layer]

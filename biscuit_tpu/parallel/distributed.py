@@ -157,6 +157,31 @@ def exchange_ok(name: str, ok: bool, timeout_ms: int = 600_000) -> bool:
     )
 
 
+def exchange_values(name: str, value: str,
+                    timeout_ms: int = 600_000) -> list:
+    """All-processes value exchange: every process posts ``value`` (str),
+    blocks until all have, and receives the per-process list (index p =
+    process p's value). Single-process: ``[value]``.
+
+    Complements :func:`exchange_ok` when the peers' payloads matter, not
+    just the conjunction — e.g. distributed scoring exchanges
+    wrote-a-shard flags so the shared-filesystem merge can check the shard
+    count instead of trusting a (possibly attribute-cached) glob."""
+    if jax.process_count() == 1:
+        return [value]
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    _KV_SEQ[0] += 1
+    base = f"biscuit_val_{name}_{_KV_SEQ[0]}"
+    client.key_value_set(f"{base}_{jax.process_index()}", str(value))
+    barrier(f"val_{name}", timeout_ms)
+    return [
+        client.blocking_key_value_get(f"{base}_{p}", timeout_ms)
+        for p in range(jax.process_count())
+    ]
+
+
 def global_batch(local_batch: dict, mesh, axis: str = "data") -> dict:
     """Assemble a process-local host batch into global sharded arrays.
 

@@ -43,6 +43,7 @@ reference has no deployment story beyond re-importing the stack).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import Optional, Sequence, Tuple
@@ -64,8 +65,6 @@ _READABLE_VERSIONS = (1, 2)
 def _weights_digest(model_path: str) -> Optional[str]:
     """blake2b of the checkpoint weights (same fingerprint convention as
     int8 calibration persistence — train/uq.py _weights_digest)."""
-    import hashlib
-
     p = os.path.join(model_path, "model.msgpack")
     if not os.path.exists(p):
         return None
@@ -205,12 +204,23 @@ def export_servable(
         "jax_version": jax.__version__,
         "weights_blake2b": _weights_digest(model_path),
         "fused": use_fused,
+        # Training-time class order (Dataset.labels convention), when the
+        # checkpoint recorded it — lets predict-time label derivation be
+        # validated against the order the head was trained with
+        # (cli/predict.py) instead of silently remapped.
+        "outcome_labels": _meta.get("outcome_labels"),
     }
-    programs, off = {}, 0
+    programs, checksums, off = {}, {}, 0
     for name, blob in blobs.items():
         programs[name] = [off, len(blob)]
+        checksums[name] = hashlib.blake2b(blob, digest_size=16).hexdigest()
         off += len(blob)
     header["programs"] = programs
+    # Per-program body digests, verified at load: a truncated or bit-rotted
+    # artifact fails with "artifact corrupt, re-export" instead of an opaque
+    # jax.export.deserialize error. Additive within format v2 — older
+    # readers ignore the field, older artifacts skip verification.
+    header["checksums"] = checksums
     if out_path is None:
         out_path = os.path.join(model_path, "servable.biscuit")
     hdr = json.dumps(header).encode()
@@ -269,12 +279,23 @@ def _read_container(path: str) -> Tuple[dict, dict]:
     if "uq" not in index:
         raise ValueError(f"{path}: v2 servable missing the 'uq' program")
     programs = {}
+    checksums = header.get("checksums") or {}
     for name, (off, length) in index.items():
         if off < 0 or off + length > len(body):
             raise ValueError(
                 f"{path}: program {name!r} spans [{off}, {off + length}) "
-                f"outside the {len(body)}-byte body")
-        programs[name] = body[off:off + length]
+                f"outside the {len(body)}-byte body — artifact truncated "
+                "or corrupt; re-export the servable")
+        blob = body[off:off + length]
+        want = checksums.get(name)
+        if want is not None:
+            got = hashlib.blake2b(blob, digest_size=16).hexdigest()
+            if got != want:
+                raise ValueError(
+                    f"{path}: program {name!r} checksum mismatch "
+                    f"({got} != {want}) — artifact corrupt; re-export "
+                    "the servable")
+        programs[name] = blob
     return header, programs
 
 
@@ -656,6 +677,7 @@ def _distributed_claim_map(servable, items, workdir, score_one, outcome,
     pid = jax.process_index()
 
     err = None
+    wrote_shard = False
     try:
         frames = []
         for i, p in enumerate(items):
@@ -672,6 +694,7 @@ def _distributed_claim_map(servable, items, workdir, score_one, outcome,
             tmp = os.path.join(workdir, f".{ns}_shard_{pid}.tmp")
             shard.to_parquet(tmp)
             os.replace(tmp, os.path.join(workdir, f"{ns}_shard_{pid}.parquet"))
+            wrote_shard = True
     except Exception as e:
         err = e
     all_ok = dist.exchange_ok(f"{ns}_scored", err is None, timeout_ms)
@@ -679,10 +702,29 @@ def _distributed_claim_map(servable, items, workdir, score_one, outcome,
         raise err
     if not all_ok:
         raise RuntimeError("a peer host failed distributed scoring")
+    # Every host reports whether it wrote a shard; the glob below must see
+    # exactly that many files. On a real shared filesystem (NFS attribute
+    # caching) a just-renamed peer shard can be invisible to the first
+    # listing — silently dropping that host's rows would break the
+    # identical-merged-frame guarantee, so poll until the count matches.
+    n_expect = sum(int(v) for v in dist.exchange_values(
+        f"{ns}_wrote", "1" if wrote_shard else "0", timeout_ms))
 
+    import time as _time
     from glob import glob
 
-    shards = sorted(glob(os.path.join(workdir, f"{ns}_shard_*.parquet")))
+    pattern = os.path.join(workdir, f"{ns}_shard_*.parquet")
+    deadline = _time.monotonic() + 30.0
+    shards = sorted(glob(pattern))
+    while len(shards) < n_expect and _time.monotonic() < deadline:
+        _time.sleep(0.2)
+        shards = sorted(glob(pattern))
+    if len(shards) != n_expect:
+        raise RuntimeError(
+            f"distributed scoring merge expected {n_expect} shard files "
+            f"under {workdir} but sees {len(shards)} — shared-filesystem "
+            "propagation failed (is workdir actually shared across "
+            "hosts?)")
     if not shards:
         empty = pd.DataFrame({"slide": [], "loc_x": [], "loc_y": [],
                               "y_true": []})

@@ -428,8 +428,14 @@ def _model_dir_name(n: int, outcome: str, label: str,
 
 def save_checkpoint(model_dir: str, params, batch_stats, hp: ModelParams,
                     epoch: int, outcome: str, label: str,
-                    kfold: Optional[int]) -> str:
-    """Save weights into the `{name}_epoch{E}` subdir (utils.py:266-271)."""
+                    kfold: Optional[int],
+                    outcome_labels: Optional[list] = None) -> str:
+    """Save weights into the `{name}_epoch{E}` subdir (utils.py:266-271).
+
+    ``outcome_labels`` is the training-time class order (sorted unique
+    outcome values, Dataset.labels convention) — persisted so downstream
+    scorers (cli/predict.py, servable headers) can validate predict-time
+    label derivation against the order the head was trained with."""
     tail = "" if kfold is None else f"-kfold{kfold}"
     sub = join(model_dir, f"{outcome}-{label}-HP0{tail}_epoch{epoch}")
     os.makedirs(sub, exist_ok=True)
@@ -438,9 +444,11 @@ def save_checkpoint(model_dir: str, params, batch_stats, hp: ModelParams,
     )
     with open(join(sub, "model.msgpack"), "wb") as f:
         f.write(blob)
+    meta = {"hp": hp.to_dict(), "outcome": outcome, "label": label}
+    if outcome_labels is not None:
+        meta["outcome_labels"] = list(outcome_labels)
     with open(join(sub, "params.json"), "w") as f:
-        json.dump({"hp": hp.to_dict(), "outcome": outcome, "label": label},
-                  f, indent=2)
+        json.dump(meta, f, indent=2)
     return sub
 
 
@@ -531,6 +539,7 @@ def train_project(
                     seed=seed + k, max_tiles=max_tiles, mesh=mesh,
                     checkpoint_every=checkpoint_every,
                     save_predictions=save_predictions,
+                    outcome_labels=unique,
                 )
             )
     elif val_strategy == "none":
@@ -546,6 +555,7 @@ def train_project(
                 seed=seed, max_tiles=max_tiles, mesh=mesh,
                 checkpoint_every=checkpoint_every,
                 save_predictions=save_predictions,
+                outcome_labels=unique,
             )
         )
     else:
@@ -557,7 +567,7 @@ def _train_single(
     project, outcome, exp_label, hp, labels, patients, by_slide,
     train_slides, val_slides, kfold, validate_on_batch, validation_steps,
     save_model, steps_per_epoch_override, seed, max_tiles, mesh,
-    checkpoint_every=None, save_predictions="csv",
+    checkpoint_every=None, save_predictions="csv", outcome_labels=None,
 ):
     """Train one model (one fold); writes the full §2.4 contract."""
     model = build_model(hp)
@@ -654,8 +664,11 @@ def _train_single(
             + [{"slide": s, "dataset": "validation"} for s in val_slides]
         ).to_csv(join(model_dir, "slide_manifest.csv"), index=False)
         with open(join(model_dir, "params.json"), "w") as f:
-            json.dump({"hp": hp.to_dict(), "outcome": outcome,
-                       "label": exp_label, "kfold": kfold}, f, indent=2)
+            meta = {"hp": hp.to_dict(), "outcome": outcome,
+                    "label": exp_label, "kfold": kfold}
+            if outcome_labels is not None:
+                meta["outcome_labels"] = list(outcome_labels)
+            json.dump(meta, f, indent=2)
 
     train_tfr = [by_slide[s] for s in train_slides if s in by_slide]
     val_tfr = [by_slide[s] for s in val_slides if s in by_slide]
@@ -977,7 +990,7 @@ def _train_single(
                 if save_model:
                     save_checkpoint(
                         model_dir, params, batch_stats, hp, epoch, outcome,
-                        exp_label, kfold,
+                        exp_label, kfold, outcome_labels=outcome_labels,
                     )
             if multihost and (epoch in hp.epochs or stopped):
                 dist.barrier("epoch_artifacts")

@@ -181,6 +181,31 @@ class TestRoundTrip:
         _assert_trees_equal(p2["backbone"], p1["backbone"])
         _assert_trees_equal(bs2["backbone"], bs1["backbone"], atol=1e-7)
 
+    def test_h5_no_layer_names_attr_natural_order(self, tmp_path):
+        """The .h5 fallback (no layer_names attr) must yield GRAPH order
+        for Keras auto-named layers (ADVICE r4): h5py lists groups
+        alphabetically, where dense_10 sorts before dense_2 — with >=10
+        equal-width Dense layers convert_keras_head's file-order
+        structural matching would then load weights sideways with every
+        shape still validating."""
+        import h5py
+
+        from biscuit_tpu.models.pretrained import read_keras_weights
+
+        names = ["dense"] + [f"dense_{i}" for i in range(1, 12)]
+        path = str(tmp_path / "flat.h5")
+        with h5py.File(path, "w") as f:
+            # Insert in shuffled order and write NO layer_names attr.
+            for j, layer in enumerate(reversed(names)):
+                g = f.create_group(layer)
+                g.create_dataset(f"{layer}/kernel:0",
+                                 data=np.full((2, 2), j, np.float32))
+                g.create_dataset(f"{layer}/bias:0",
+                                 data=np.zeros((2,), np.float32))
+        got = list(read_keras_weights(path))
+        assert got == names  # graph order, not ["dense", "dense_1",
+        # "dense_10", "dense_11", "dense_2", ...]
+
     def test_loaded_model_runs(self, tiny_inits, tmp_path):
         """Converted weights produce the donor's forward outputs."""
         import jax.numpy as jnp

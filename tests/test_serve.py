@@ -99,6 +99,37 @@ class TestContainer:
         with pytest.raises(ValueError, match="bad magic"):
             serve.load_servable(str(p))
 
+    def test_rejects_truncated_artifact(self, artifact, tmp_path):
+        """Cutting the body mid-program fails loudly at load ("truncated
+        or corrupt; re-export"), not as an opaque jax.export.deserialize
+        error at first dispatch."""
+        raw = open(artifact, "rb").read()
+        p = tmp_path / "truncated.biscuit"
+        p.write_bytes(raw[: len(raw) - 1000])
+        with pytest.raises(ValueError,
+                           match="truncated or corrupt|checksum mismatch"):
+            serve.load_servable(str(p))
+
+    def test_rejects_bitrot(self, artifact, tmp_path):
+        """A single flipped bit inside a program body trips that program's
+        blake2b checksum with an actionable message."""
+        raw = bytearray(open(artifact, "rb").read())
+        hdr_len = int.from_bytes(raw[len(serve._MAGIC):len(serve._MAGIC) + 8],
+                                 "little")
+        body_start = len(serve._MAGIC) + 8 + hdr_len
+        raw[body_start + 500] ^= 0x40
+        p = tmp_path / "bitrot.biscuit"
+        p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError, match="checksum mismatch.*re-export"):
+            serve.load_servable(str(p))
+
+    def test_header_carries_checksums(self, artifact):
+        header, programs = serve._read_container(artifact)
+        assert set(header["checksums"]) == set(programs)
+        # Artifacts exported before the checksums field still load: same
+        # header minus "checksums" verifies nothing but reads fine.
+        assert serve.load_servable(artifact).header["checksums"]
+
     def test_is_servable_artifact_sniffs_magic(self, artifact, model_dir,
                                                tmp_path):
         """Artifact detection keys on the container magic, not the filename
@@ -213,10 +244,58 @@ class TestFeatures:
     + K-pass head baked alongside the UQ program, so UMAP mosaics and
     SlideMaps run from the deployment artifact alone."""
 
+    def test_export_roundtrip_is_bitwise(self, artifact, model_dir):
+        """features_exact == the SAME preprocess->trunk->head chain jitted
+        as one program: serialize -> deserialize -> execute adds zero drift.
+
+        Measured (2026-08-20, cpu): max abs diff 0.0 — the deserialized
+        StableHLO is the same program, so XLA compiles it identically.
+        This is the real export-roundtrip pin; staged-vs-one-program
+        numerics are covered (with the measured tolerance) by
+        test_matches_live_feature_path below."""
+        import jax.numpy as jnp
+
+        from biscuit_tpu.data.normalize import per_image_standardization
+        from biscuit_tpu.train.uq import mc_dropout_head, trunk_features
+
+        model, params, batch_stats, hp, _ = load_checkpoint(model_dir)
+        normalizer = make_normalizer(hp.normalizer)
+        tiles = _tiles(BATCH, seed=2)
+        key = jax.random.PRNGKey(31)
+        sv = serve.load_servable(artifact)
+        got_f, got_m, got_s = sv.features_exact(tiles, key=key)
+
+        def infer_features(images_u8, key_data):
+            x = images_u8.astype(jnp.float32)
+            if normalizer is not None:
+                x = normalizer(x)
+            x = per_image_standardization(x)
+            feats = trunk_features(model, params, batch_stats, x)
+            k2 = jax.random.wrap_key_data(key_data)
+            mean, std = mc_dropout_head(model, params, batch_stats, feats,
+                                        k2, k=sv.features_k)
+            return feats, mean, std
+
+        want_f, want_m, want_s = jax.jit(infer_features)(
+            tiles, jax.random.key_data(key))
+        np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
     def test_matches_live_feature_path(self, artifact, model_dir):
-        """features_exact == the live trunk-features + mc_dropout_head
-        chain on the same key (the exact computation mosaic.generate_features
-        runs from a checkpoint)."""
+        """features_exact ~= the STAGED trunk-features + mc_dropout_head
+        chain on the same key (the computation mosaic.generate_features
+        runs from a checkpoint, stage by stage).
+
+        Tolerance is calibrated, not aspirational: the exported program
+        jits preprocess+trunk+head as ONE program, the staged path runs
+        them as separate compilations, and XLA picks different fusions —
+        each changing where the bf16 trunk rounds. Measured drift
+        (2026-08-20, cpu, tiny trunk, B=8): max abs 1.28e-3, p99 ~31 bf16
+        ulps, with rel-diff up to 1.0 on ReLU-boundary elements; the
+        export roundtrip itself is bitwise (see
+        test_export_roundtrip_is_bitwise). atol=5e-3/rtol=0.02 is the
+        same family the sibling exported-vs-live chip tests use."""
         import jax.numpy as jnp
 
         from biscuit_tpu.data.normalize import per_image_standardization
@@ -238,11 +317,11 @@ class TestFeatures:
         want_m, want_s = mc_dropout_head(model, params, batch_stats, want_f,
                                          key, k=sv.features_k)
         np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
-                                   rtol=5e-4, atol=1e-4)
+                                   rtol=0.02, atol=5e-3)
         np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
-                                   rtol=5e-4, atol=1e-4)
+                                   rtol=0.02, atol=5e-3)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
-                                   rtol=5e-4, atol=1e-4)
+                                   rtol=0.02, atol=5e-3)
 
     def test_any_n_contract(self, artifact):
         sv = serve.load_servable(artifact)
@@ -685,6 +764,73 @@ class TestPredict:
         df = pd.read_csv(out, dtype={"slide": str})
         assert set(df[df.slide == "0123"].cohort_y_true0) == {1}
         assert set(df[df.slide == "7"].cohort_y_true0) == {0}
+
+    def test_cli_label_order_guards(self, artifact, corpus, tmp_path,
+                                    model_dir):
+        """Class-index safety (ADVICE r4): a predict-time CSV with a
+        SUBSET of the training outcomes must not silently remap indices.
+        Single-class annotations error without a pinned order; --classes
+        pins the training order (single-class then scores correctly);
+        values outside the pinned order error; an artifact exported from
+        a checkpoint carrying outcome_labels pins the order by itself."""
+        import pandas as pd
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.predict import main
+
+        root, _ = corpus
+        ann = str(tmp_path / "one_class.csv")
+        pd.DataFrame({"slide": ["sl0", "sl1", "sl2"],
+                      "cohort": ["LUSC", "LUSC", "LUSC"]}
+                     ).to_csv(ann, index=False)
+        out = str(tmp_path / "p.csv")
+        r = CliRunner().invoke(main, [artifact, str(root), "-o", out,
+                                      "--annotations", ann])
+        assert r.exit_code != 0
+        assert "only one outcome value" in r.output
+        # --classes pins training order: LUSC -> index 1 even though it is
+        # the only (and alphabetically first) value present.
+        r = CliRunner().invoke(main, [artifact, str(root), "-o", out,
+                                      "--annotations", ann,
+                                      "--classes", "LUAD,LUSC"])
+        assert r.exit_code == 0, r.output
+        assert set(pd.read_csv(out).cohort_y_true0) == {1}
+        # A value outside the pinned order is an error, not a reindex.
+        r = CliRunner().invoke(main, [artifact, str(root), "-o", out,
+                                      "--annotations", ann,
+                                      "--classes", "ADENO,SQUAM"])
+        assert r.exit_code != 0
+        assert "not in the training class order" in r.output
+
+    def test_artifact_outcome_labels_pin_order(self, model_dir, corpus,
+                                               tmp_path):
+        """save_checkpoint(outcome_labels=...) -> servable header ->
+        predict CLI: the training order rides the artifact, so single-class
+        annotations score with training indices and no flag."""
+        import pandas as pd
+        from click.testing import CliRunner
+
+        from biscuit_tpu.cli.predict import main
+        from biscuit_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+        _, params, batch_stats, hp, _ = load_checkpoint(model_dir)
+        root2 = tmp_path / "labeled_model"
+        sub = save_checkpoint(str(root2), params, batch_stats, hp, epoch=1,
+                              outcome="cohort", label="tiny", kfold=None,
+                              outcome_labels=["LUAD", "LUSC"])
+        art = serve.export_servable(sub, batch_size=BATCH)
+        assert serve.load_servable(art).header["outcome_labels"] == \
+            ["LUAD", "LUSC"]
+        corp_root, _ = corpus
+        ann = str(tmp_path / "one_class.csv")
+        pd.DataFrame({"slide": ["sl0", "sl1", "sl2"],
+                      "cohort": ["LUSC", "LUSC", "LUSC"]}
+                     ).to_csv(ann, index=False)
+        out = str(tmp_path / "p.csv")
+        r = CliRunner().invoke(main, [art, str(corp_root), "-o", out,
+                                      "--annotations", ann])
+        assert r.exit_code == 0, r.output
+        assert set(pd.read_csv(out).cohort_y_true0) == {1}
 
     def test_distributed_single_process_degrade(self, artifact, corpus,
                                                 tmp_path):
