@@ -47,6 +47,7 @@ BATCH = int(os.environ.get("BISCUIT_BENCH_BATCH", "1024"))
 WARMUP = 2
 ITERS = 6
 E2E_BATCHES = 8
+E2E_REPEATS = int(os.environ.get("BISCUIT_BENCH_E2E_REPEATS", "3"))
 E2E_CORPUS_SLIDES = 4
 E2E_TILES_PER_SLIDE = 256
 
@@ -209,29 +210,49 @@ def bench_e2e(jax, jnp, params, batch_stats, uq_step, device, paths):
         # Per-phase wall buckets (decode wait / device_put call /
         # dispatch+sync) are reported for attribution — buckets
         # overlap device work, so they sum to ~dt, not to device time.
-        t_decode = t_put = 0.0
-        n = 0
-        t0 = time.perf_counter()
-        b = next(it)
-        images = jax.device_put(b["image"], device)
-        n += int(np.asarray(b["mask"]).sum())
-        outs = []
-        for i in range(E2E_BATCHES):
-            outs.append(uq_step(params, batch_stats, images, keys[i]))
-            if i + 1 < E2E_BATCHES:
-                t1 = time.perf_counter()
-                b = next(it)
-                t2 = time.perf_counter()
-                images = jax.device_put(b["image"], device)
-                t3 = time.perf_counter()
-                t_decode += t2 - t1
-                t_put += t3 - t2
-                n += int(np.asarray(b["mask"]).sum())
-        jax.block_until_ready(outs)
-        dt = time.perf_counter() - t0
-        _log(f"e2e buckets over {dt:.2f}s: decode-wait {t_decode:.2f}s,"
-             f" device_put {t_put:.2f}s, dispatch+sync "
-             f"{dt - t_decode - t_put:.2f}s")
+        # NOTE on bucket shape: because the upload is async, its wait
+        # surfaces at the dispatch fence — dispatch+sync, not
+        # device_put, carries the tunnel-upload cost in this loop.
+        # The metric swings ~3x on tunnel weather (r2 199 / r3 47 /
+        # r4 56-188 tiles/s same-day), so the protocol runs
+        # E2E_REPEATS independent repeats and reports the median
+        # (stable central figure) and best (tunnel-least-bound bound),
+        # with every repeat's buckets embedded in the JSON.
+        repeats = []
+        for r in range(E2E_REPEATS):
+            t_decode = t_put = 0.0
+            n = 0
+            t0 = time.perf_counter()
+            b = next(it)
+            images = jax.device_put(b["image"], device)
+            n += int(np.asarray(b["mask"]).sum())
+            outs = []
+            for i in range(E2E_BATCHES):
+                outs.append(uq_step(params, batch_stats, images, keys[i]))
+                if i + 1 < E2E_BATCHES:
+                    t1 = time.perf_counter()
+                    b = next(it)
+                    t2 = time.perf_counter()
+                    images = jax.device_put(b["image"], device)
+                    t3 = time.perf_counter()
+                    t_decode += t2 - t1
+                    t_put += t3 - t2
+                    n += int(np.asarray(b["mask"]).sum())
+            jax.block_until_ready(outs)
+            dt = time.perf_counter() - t0
+            rep = {
+                "tiles_per_s": round(n / dt, 2),
+                "wall_s": round(dt, 2),
+                "decode_wait_s": round(t_decode, 2),
+                "device_put_s": round(t_put, 2),
+                "dispatch_sync_s": round(dt - t_decode - t_put, 2),
+            }
+            repeats.append(rep)
+            _log(f"e2e repeat {r + 1}/{E2E_REPEATS}: "
+                 f"{rep['tiles_per_s']} tiles/s over {rep['wall_s']}s "
+                 f"(decode-wait {rep['decode_wait_s']}s, device_put "
+                 f"{rep['device_put_s']}s, dispatch+sync "
+                 f"{rep['dispatch_sync_s']}s)")
 
     finally:
         # Stop the decode worker before the tempdir is torn down.
@@ -268,7 +289,11 @@ def bench_e2e(jax, jnp, params, batch_stats, uq_step, device, paths):
     # benchmarks/bench_host_decode.py) on a co-located multi-core VM.
     cpu_us_per_tile = host_cpu / max(n_host, 1) * 1e6
     projected_8core = 8e6 / cpu_us_per_tile if cpu_us_per_tile else None
-    return n / dt, n_host / host_dt, cpu_us_per_tile, projected_8core
+    rates = sorted(r["tiles_per_s"] for r in repeats)
+    median = rates[len(rates) // 2] if len(rates) % 2 else (
+        (rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2)
+    return (median, rates[-1], repeats, n_host / host_dt,
+            cpu_us_per_tile, projected_8core)
 
 
 def main():
@@ -299,13 +324,14 @@ def main():
             if corpus_paths is None:
                 _log("building JPEG tfrecord corpus (e2e stream)...")
                 corpus_paths = _make_corpus(tmp)
-            (e2e_tiles_per_s, host_tiles_per_s, host_cpu_us,
-             host_proj_8core) = bench_e2e(
+            (e2e_tiles_per_s, e2e_best, e2e_repeats, host_tiles_per_s,
+             host_cpu_us, host_proj_8core) = bench_e2e(
                 jax, jnp, params, batch_stats, uq_step, device,
                 corpus_paths)
         except Exception as e:  # companion metric must not sink the headline
             _log(f"e2e bench failed: {e!r}")
-            e2e_tiles_per_s = host_tiles_per_s = None
+            e2e_tiles_per_s = e2e_best = host_tiles_per_s = None
+            e2e_repeats = None
             host_cpu_us = host_proj_8core = None
 
     fpt = uq_flops_per_tile("xception", tile_px=299, k=30)
@@ -335,6 +361,15 @@ def main():
                     round(e2e_tiles_per_s, 2)
                     if e2e_tiles_per_s is not None else None
                 ),
+                "e2e_tiles_per_s_best": (
+                    round(e2e_best, 2) if e2e_best is not None else None
+                ),
+                "e2e_protocol": (
+                    f"median of {E2E_REPEATS} repeats x {E2E_BATCHES} "
+                    "double-buffered batches; tunnel-upload wait lands in "
+                    "dispatch_sync_s (async device_put)"
+                ),
+                "e2e_repeats": e2e_repeats,
                 "host_decode_tiles_per_s": (
                     round(host_tiles_per_s, 2)
                     if host_tiles_per_s is not None else None

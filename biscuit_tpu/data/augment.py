@@ -37,8 +37,13 @@ on-chip op in the policy:
   Reinhard stain normalization (a nonlinear LAB-space map). Both are
   blur-rate (10%) second-order effects on training augmentation noise,
   tested in tests/test_data_plane.py::test_blur_standardize_commute;
-* JPEG augmentation runs host-side on the raw uint8 tile before either
-  path's normalization, identical to slideflow.
+* JPEG augmentation defaults to the on-chip DCT round-trip
+  (jpeg_augment_device below: DCT-as-kron-matmul, quantize, inverse —
+  16 us/tile on chip vs 2.2 ms/tile for the host codec), applied to the
+  uint8 tile before normalization like slideflow. BISCUIT_JPEG_HOST=1
+  selects the host PIL codec (bitwise libjpeg parity) at the 2.2 ms/tile
+  cost; the two paths' training-accuracy equivalence is argued in
+  jpeg_augment_device's docstring and tested in tests/test_jpeg_aug.py.
 """
 
 from __future__ import annotations

@@ -3,10 +3,12 @@
 TPU-native stand-in for slideflow's libvips/cuCIM slide stack (SURVEY.md
 §2.3 E3, E8; reference call sites configure.py:115-133, results.py:235-248).
 
-Reader backend: PIL (pyramidal/plain TIFF, PNG, JPEG). Proprietary WSI
-containers (.svs, .ndpi) are TIFF-based and open via PIL for the common
-cases; an OpenSlide backend slots in here when available (gated import —
-not in this environment).
+Reader backends (dispatch in ``WSI.__init__`` below): tiled TIFF/BigTIFF
+— which covers Aperio ``.svs`` including the JPEG2000-compressed
+(33003/33005) majority of the real TCGA/CPTAC corpus — reads through the
+native C++ region reader (``native/biscuit_native.cpp``: libtiff regions
++ dlopen'd OpenJPEG), PIL-free and bounded-memory on multi-gigapixel
+slides. Striped TIFF, PNG, and JPEG fall back to PIL.
 
 QC follows the reference semantics of ``qc='both'`` (configure.py:118-124):
 * Otsu threshold on the slide thumbnail's grayscale -> tissue mask; a tile
