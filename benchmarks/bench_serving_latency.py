@@ -45,6 +45,7 @@ scoring (pipelined: 4,275 tiles/s), not interactive use.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
@@ -109,16 +110,29 @@ def main(batches):
             path = serve.export_servable(
                 sub, batch_size=b,
                 out_path=f"{tmp}/servable_b{b}.biscuit")
+            size_mb = os.path.getsize(path) / 1e6
+            # Cold load: container parse + checksum verify +
+            # jax.export.deserialize of every program.
+            t0 = time.perf_counter()
             sv = serve.load_servable(path)
+            t_load = time.perf_counter() - t0
             gen = jax.jit(lambda k, b=b: jax.random.randint(
                 k, (b, hp.tile_px, hp.tile_px, 3), 0, 256, dtype=jnp.uint8))
             keys = [jax.random.PRNGKey(1000 * b + i)
                     for i in range(ITERS + 1)]
-            # Compile (remote: ~20-60s first time, persistent-cached after).
+            # First dispatch = XLA compile of the deserialized StableHLO +
+            # weight upload + one execute (remote: ~20-60s on a cold
+            # persistent cache; the number below is the warm-cache cold
+            # start a restarting serving process pays).
             xw = gen(keys[-1])
             float(sum_u8(xw))
+            t0 = time.perf_counter()
             m, s = sv.call_exact(xw, key=keys[-1])
             float(jnp.sum(m) + jnp.sum(s))
+            t_first = time.perf_counter() - t0
+            print(f"B={b:>5}  artifact {size_mb:7.1f} MB   "
+                  f"cold load {t_load*1e3:8.1f} ms   "
+                  f"first dispatch {t_first*1e3:8.1f} ms", flush=True)
             del xw, m, s
             ts = []
             for i in range(ITERS):
@@ -132,16 +146,18 @@ def main(batches):
                 ts.append(time.perf_counter() - t0)
                 del x, m, s
             lat_min, lat_med = min(ts), float(np.median(ts))
-            rows.append((b, lat_min, lat_med))
+            rows.append((b, lat_min, lat_med, size_mb, t_load, t_first))
             print(f"B={b:>5}  latency min {lat_min*1e3:8.2f} ms / "
                   f"median {lat_med*1e3:8.2f} ms   "
                   f"(min-RTT {max(lat_min-rtt_min, 0)*1e3:8.2f} ms; "
                   f"{b/lat_min:8.1f} tiles/s single-inflight)", flush=True)
 
-    print("\nB, min_ms, median_ms, minus_rtt_ms, single_inflight_tiles_per_s")
-    for b, lmin, lmed in rows:
+    print("\nB, min_ms, median_ms, minus_rtt_ms, single_inflight_tiles_per_s,"
+          " artifact_mb, cold_load_ms, first_dispatch_ms")
+    for b, lmin, lmed, size_mb, t_load, t_first in rows:
         print(f"{b}, {lmin*1e3:.2f}, {lmed*1e3:.2f}, "
-              f"{max(lmin-rtt_min, 0)*1e3:.2f}, {b/lmin:.1f}")
+              f"{max(lmin-rtt_min, 0)*1e3:.2f}, {b/lmin:.1f}, "
+              f"{size_mb:.1f}, {t_load*1e3:.1f}, {t_first*1e3:.1f}")
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import click
 
-from ..experiment import ALL_EXP, Experiment
+from ..experiment import Experiment, published_matrix
 
 
 def num_range(s: str):
@@ -74,46 +74,18 @@ def train_models(train_project, eval_projects, outcome, outcome1, outcome2,
             base.update(json.load(f))
         hp = ModelParams.from_dict(base)
     step_list = num_range(steps)
-    to_run = {}
 
-    ladder = list(ALL_EXP) if subset is None else subset.split(",")
-    if reg:
-        # Forward and reverse orderings over two order columns
-        # (train.py:61-77).
-        to_run.update(Experiment.config("{}", ladder, 1, order="f"))
-        if orderings:
-            to_run.update(
-                Experiment.config("{}_R1", ladder, 1, order="r")
-            )
-            to_run.update(
-                Experiment.config("{}_R2", ladder, 1, order="r",
-                                  order_col="order2")
-            )
-    if ratio:
-        ratio_subset = [e for e in ("A", "M", "D", "P", "G", "Z")
-                        if e in ladder]
-        to_run.update(
-            Experiment.config("{}_RATIO_3", ratio_subset, 3)
-        )
-        to_run.update(
-            Experiment.config("{}_RATIO_10", ratio_subset, 10)
-        )
-    if gan:
-        gan_subset = [
-            e for e in ("U", "T", "S", "R", "A", "L", "M", "N", "D", "O",
-                        "P", "Q", "G", "Z")
-            if e in ladder
-        ]
-        for frac in (0.1, 0.2, 0.3, 0.4, 0.5):
-            to_run.update(
-                Experiment.config(
-                    "{}_GAN_" + f"{int(frac * 100)}", gan_subset, 1,
-                    gan=frac,
-                )
-            )
-
-    click.echo(f"Running {len(to_run)} experiments, steps {step_list}")
-    experiment.run(to_run, steps=step_list, hp=hp)
+    # The published grid (reference train.py:61-96), group by group in the
+    # reference's training order (train.py:95-96).
+    ladder = None if subset is None else subset.split(",")
+    groups = published_matrix(ladder=ladder, reg=reg, orderings=orderings,
+                              ratio=ratio, gan=gan)
+    n_exps = sum(len(g) for g in groups.values())
+    click.echo(f"Running {n_exps} experiments "
+               f"({', '.join(groups)}), steps {step_list}")
+    for group_name, group in groups.items():
+        click.echo(f"== group {group_name}: {len(group)} experiments ==")
+        experiment.run(group, steps=step_list, hp=hp)
 
 
 if __name__ == "__main__":

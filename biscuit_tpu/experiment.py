@@ -54,6 +54,64 @@ NO_UQ_EXPS = ("V", "W", "X", "Y", "Z", "ZA", "ZB", "ZC", "ZD")
 
 FULL_EPOCH_EXPS = ("AA", "A", "D", "G")
 
+# Published-grid subsets: the 3:1/10:1 class-ratio arm runs on 'AMDPGZ'
+# (reference train.py:79-86) and the GAN-fraction arm on
+# 'RALMNDOPQGWY' + ZA/ZC (train.py:89-96).
+RATIO_EXPS = tuple("AMDPGZ")
+GAN_EXPS = tuple("RALMNDOPQGWY") + ("ZA", "ZC")
+GAN_FRACTIONS = (0.1, 0.2, 0.3, 0.4, 0.5)
+
+
+def published_matrix(ladder=None, reg=True, orderings=True, ratio=True,
+                     gan=True):
+    """The complete published experiment grid as named config groups.
+
+    Single source of truth for the matrix the reference constructs in
+    BOTH train.py:61-96 and results.py:94-121 (duplicated there; shared
+    here so the training and results CLIs can never drift apart):
+
+    * ``reg1``/``reg2``/``rev1``/``rev2`` — the ladder forward/reverse
+      over the two independent orderings (labels ``{}``, ``{}2``,
+      ``{}_R``, ``{}_R2``);
+    * ``ratio_3``/``ratio_10`` — 3:1 and 10:1 class-ratio arms over
+      AMDPGZ, forward + reverse (labels ``{}_3``/``{}_R_3``/``{}_10``/
+      ``{}_R_10``, each with its 'i' class-inverse);
+    * ``gan`` — GAN fractions 10-50% over the 14-size subset, forward +
+      reverse (labels ``{}_g10``..``{}_R_g50``).
+
+    Returns an ordered dict of {group: {label: add-kwargs}} for the
+    requested arms, restricted to ``ladder`` when given. Groups are in
+    the reference's training order (train.py:95-96 runs them
+    sequentially).
+    """
+    L = list(ALL_EXP) if ladder is None else [e for e in ALL_EXP
+                                              if e in ladder]
+    cfg = Experiment.config
+    groups = {}
+    if reg:
+        groups["reg1"] = cfg("{}", L, 1, order="f")
+        if orderings:
+            groups["reg2"] = cfg("{}2", L, 1, order="f",
+                                 order_col="order2")
+            groups["rev1"] = cfg("{}_R", L, 1, order="r")
+            groups["rev2"] = cfg("{}_R2", L, 1, order="r",
+                                 order_col="order2")
+    if ratio:
+        r = [e for e in RATIO_EXPS if e in L]
+        for rat in (3, 10):
+            grp = cfg("{}_" + str(rat), r, rat, order="f")
+            grp.update(cfg("{}_R_" + str(rat), r, rat, order="r"))
+            groups[f"ratio_{rat}"] = grp
+    if gan:
+        g = [e for e in GAN_EXPS if e in L]
+        gan_grp = {}
+        for frac in GAN_FRACTIONS:
+            tag = f"g{int(frac * 100)}"
+            gan_grp.update(cfg("{}_" + tag, g, 1, gan=frac, order="f"))
+            gan_grp.update(cfg("{}_R_" + tag, g, 1, gan=frac, order="r"))
+        groups["gan"] = gan_grp
+    return groups
+
 
 class Experiment:
     """Supervises uncertainty-thresholding experiments (experiment.py:49)."""
