@@ -32,6 +32,17 @@ Run:  python benchmarks/run_full_matrix.py [--arms reg1,rev1] [--results-only]
 Phase wall times land on stdout and matrix_report.json; recorded in
 PARITY.md. Reference: train.py:61-96, experiment.py:21-45, README.md:127
 ("~1000 models, so this may take a while").
+
+Config tuning for the 1-core box (A/B on the R,Z reg1 subset, 44
+trainings, warm compile cache, 2026-08-20): virtual-device count x
+n_submeshes {8x2: 208 s, 8x1: 153 s, 2x2: 184 s, 1x1: 117 s}. Two
+scheduler worker threads on ONE physical core cost 21-36% (GIL/cache
+thrash), and per-training data-parallel sharding over k virtual devices
+adds pure dispatch+collective overhead — on real TPU topologies both are
+wins, on a 1-core CPU host both are losses. The driver defaults to 2
+virtual devices x 2 submeshes (BISCUIT_MATRIX_SUBMESHES to override):
+the submesh scheduler + work queue stay genuinely engaged, each training
+gets a 1-device mesh, and the run costs ~4.2 s/training.
 """
 
 import io
@@ -45,8 +56,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
+    # 2 virtual devices, not 8: see the config-tuning note above.
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+        _flags + " --xla_force_host_platform_device_count=2").strip()
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -195,7 +207,10 @@ def main():
         train_P, eval_projects=[eval_P], outcome="cohort",
         outcome1="LUAD", outcome2="LUSC", outdir=outdir,
     )
-    exp.train_kwargs = {"seed": 0, "n_submeshes": 2}
+    exp.train_kwargs = {
+        "seed": 0,
+        "n_submeshes": int(os.environ.get("BISCUIT_MATRIX_SUBMESHES", "2")),
+    }
 
     full_grid = args.arms is None and args.subset is None
     matrix = published_matrix(
