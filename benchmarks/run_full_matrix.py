@@ -39,10 +39,30 @@ n_submeshes {8x2: 208 s, 8x1: 153 s, 2x2: 184 s, 1x1: 117 s}. Two
 scheduler worker threads on ONE physical core cost 21-36% (GIL/cache
 thrash), and per-training data-parallel sharding over k virtual devices
 adds pure dispatch+collective overhead — on real TPU topologies both are
-wins, on a 1-core CPU host both are losses. The driver defaults to 2
-virtual devices x 2 submeshes (BISCUIT_MATRIX_SUBMESHES to override):
-the submesh scheduler + work queue stay genuinely engaged, each training
-gets a 1-device mesh, and the run costs ~4.2 s/training.
+wins, on a 1-core CPU host both are losses.
+
+Full-sitting tuning (same box, later that day): three wall-time sinks
+were measured and removed so the COMPLETE 5,620-training grid fits one
+sitting on one core:
+  * eager flax ``model.init`` cost ~1.4 s/training (28% of wall) and
+    ~200 one-time eager-op compiles — trainer.init_model is now jitted +
+    cached per module structure (bit-identical params, ~1.5 ms replay);
+  * nothing enabled the persistent XLA compile cache in this driver, so
+    every invocation re-compiled the train/infer programs cold (~20 s
+    EACH, twice for the train step — the first call compiles with
+    single-device init placements, the second with the steady-state
+    replicated layout). The driver now pins the same
+    ~/.cache/biscuit_jax cache the test conftest uses: warm re-runs
+    reload each program in ~2.5 s, once per process;
+  * steady-state step cost is 79 ms on a 1-device mesh vs 105 ms over 2
+    virtual devices (pure dispatch+collective overhead at this size).
+The driver therefore defaults to ONE virtual device x ONE submesh
+(sequential dispatch; BISCUIT_MATRIX_SUBMESHES / XLA_FLAGS override) —
+the submesh scheduler + distributed work queue are exercised at scale by
+benchmarks/run_ladder_at_scale.py and the 2x2 A/B above, while the
+full-matrix sitting optimizes for completing all 280 experiments.
+Measured after the fixes: the reg1 Z-only run (22 trainings) fell from
+117 s to ~55 s warm.
 """
 
 import io
@@ -56,9 +76,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    # 2 virtual devices, not 8: see the config-tuning note above.
+    # 1 virtual device: see the full-sitting tuning note above.
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=2").strip()
+        _flags + " --xla_force_host_platform_device_count=1").strip()
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -196,6 +216,15 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache (same location as tests/conftest.py): the
+    # grid's handful of distinct step programs reload in ~2.5 s instead of
+    # recompiling ~20 s cold on every invocation/resume.
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("BISCUIT_JAX_CACHE",
+                           os.path.expanduser("~/.cache/biscuit_jax")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from biscuit_tpu.experiment import Experiment, published_matrix
 
@@ -209,7 +238,7 @@ def main():
     )
     exp.train_kwargs = {
         "seed": 0,
-        "n_submeshes": int(os.environ.get("BISCUIT_MATRIX_SUBMESHES", "2")),
+        "n_submeshes": int(os.environ.get("BISCUIT_MATRIX_SUBMESHES", "1")),
     }
 
     full_grid = args.arms is None and args.subset is None

@@ -70,8 +70,24 @@ def make_optimizer(hp: ModelParams):
 
 
 def init_model(model, hp: ModelParams, rng):
-    dummy = jnp.zeros((2, hp.tile_px, hp.tile_px, 3), jnp.float32)
-    variables = model.init({"params": rng, "dropout": rng}, dummy, train=False)
+    # Jitted + cached per (module, tile_px): eager flax init dispatches the
+    # whole weight-init graph op-by-op (~1.4 s and ~200 one-time eager-op
+    # compiles per call on the 1-core CPU host — profiled on the full-matrix
+    # driver, where ~6k trainings made init 28% of wall). The jitted
+    # program traces once per module structure and replays in ~ms for every
+    # subsequent (seed, fold, experiment); values are bit-identical to the
+    # eager path (same program, same PRNG stream).
+    init_fn = _cached_fn(
+        ("model_init", model, int(hp.tile_px)),
+        lambda: jax.jit(
+            lambda r: model.init(
+                {"params": r, "dropout": r},
+                jnp.zeros((2, hp.tile_px, hp.tile_px, 3), jnp.float32),
+                train=False,
+            )
+        ),
+    )
+    variables = init_fn(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", freeze({}))
     if getattr(hp, "pretrained", None):
@@ -570,6 +586,17 @@ def _train_single(
     checkpoint_every=None, save_predictions="csv", outcome_labels=None,
 ):
     """Train one model (one fold); writes the full §2.4 contract."""
+    import time as _time
+    _phase_t = [_time.perf_counter()]
+    _phases = {}
+    _timing = bool(os.environ.get("BISCUIT_TIME_PHASES"))
+
+    def _mark(name):
+        if _timing:
+            now = _time.perf_counter()
+            _phases[name] = _phases.get(name, 0.0) + (now - _phase_t[0])
+            _phase_t[0] = now
+
     model = build_model(hp)
     tx = make_optimizer(hp)
     rng = jax.random.PRNGKey(seed)
@@ -581,6 +608,7 @@ def _train_single(
     normalizer = make_normalizer(hp.normalizer)
     train_step = _cached_train_step(hp, mesh, model, tx, normalizer)
     val_metrics_step = _cached_val_metrics_step(hp, mesh, model, normalizer)
+    _mark("init")
 
     # Multi-host (DCN) mode: with jax.distributed initialized, every process
     # runs this function in lockstep over the global mesh. Each host decodes
@@ -672,6 +700,7 @@ def _train_single(
 
     train_tfr = [by_slide[s] for s in train_slides if s in by_slide]
     val_tfr = [by_slide[s] for s in val_slides if s in by_slide]
+    _mark("dirs")
 
     from ..data.augment import jpeg_on_host
 
@@ -795,6 +824,7 @@ def _train_single(
     # the device step (the TPU would otherwise idle on host PNG decode).
     train_stream = PrefetchBatcher(train_batcher, depth=3)
     train_iter = iter(train_stream)
+    _mark("stream_setup")
     t_last = _time.perf_counter()
 
     # Preemption-safe training (SURVEY.md §5.3; TPU VMs receive SIGTERM
@@ -927,6 +957,7 @@ def _train_single(
                     local_mesh = data_parallel_mesh(jax.local_devices())
                     params_h = jax.device_get(params)
                     batch_stats_h = jax.device_get(batch_stats)
+            _mark("train_loop")
             if (epoch in hp.epochs or stopped) and not epoch_already_done \
                     and main:
                 # On an early stop mid-epoch, record under the next declared
@@ -992,6 +1023,7 @@ def _train_single(
                         model_dir, params, batch_stats, hp, epoch, outcome,
                         exp_label, kfold, outcome_labels=outcome_labels,
                     )
+            _mark("epoch_preds")
             if multihost and (epoch in hp.epochs or stopped):
                 dist.barrier("epoch_artifacts")
             if stopped:
@@ -1014,4 +1046,8 @@ def _train_single(
         pd.DataFrame(results_rows).to_csv(
             join(model_dir, "results_log.csv"), index=False
         )
+    if _timing:
+        _mark("close_writes")
+        print("[phases] " + json.dumps(
+            {k: round(v, 3) for k, v in _phases.items()}), flush=True)
     return model_dir
