@@ -77,16 +77,22 @@ def init_model(model, hp: ModelParams, rng):
     # program traces once per module structure and replays in ~ms for every
     # subsequent (seed, fold, experiment); values are bit-identical to the
     # eager path (same program, same PRNG stream).
-    init_fn = _cached_fn(
-        ("model_init", model, int(hp.tile_px)),
-        lambda: jax.jit(
+    def _jit_init():
+        return jax.jit(
             lambda r: model.init(
                 {"params": r, "dropout": r},
                 jnp.zeros((2, hp.tile_px, hp.tile_px, 3), jnp.float32),
                 train=False,
             )
-        ),
-    )
+        )
+
+    try:
+        init_fn = _cached_fn(("model_init", model, int(hp.tile_px)),
+                             _jit_init)
+    except TypeError:
+        # A custom module with unhashable fields can't key the cache;
+        # still jit (compile-cached by structure), just uncached here.
+        init_fn = _jit_init()
     variables = init_fn(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", freeze({}))

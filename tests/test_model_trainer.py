@@ -106,6 +106,42 @@ class TestModel:
         feats = model.apply(variables, x, train=False, method="features")
         assert feats.shape == (2, 128)  # tiny exit width
 
+    def test_jitted_init_matches_eager_and_caches(self):
+        """trainer.init_model is jitted + cached per module structure
+        (full-matrix profiling: eager flax init cost ~1.4 s/training =
+        28% of the grid's wall). The contract: bit-identical params to
+        the eager ``model.init`` on the same seed, distinct across
+        seeds, and a cache hit for a structurally-equal rebuilt module."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from biscuit_tpu.models.xception import build_model
+        from biscuit_tpu.train.trainer import init_model
+
+        hp = tiny_hp()
+        model = build_model(hp)
+        p1, bs1 = init_model(model, hp, jax.random.PRNGKey(5))
+        eager = model.init(
+            {"params": jax.random.PRNGKey(5),
+             "dropout": jax.random.PRNGKey(5)},
+            jnp.zeros((2, 32, 32, 3), jnp.float32), train=False,
+        )
+        for got, want in zip(jax.tree.leaves(p1),
+                             jax.tree.leaves(eager["params"])):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # Distinct seed -> distinct weights.
+        p2, _ = init_model(build_model(hp), hp, jax.random.PRNGKey(6))
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
+        # Rebuilt (structurally equal) module hits the jit cache: replay
+        # must be far below a fresh trace+compile (~seconds).
+        t0 = time.perf_counter()
+        init_model(build_model(hp), hp, jax.random.PRNGKey(7))
+        assert time.perf_counter() - t0 < 0.5
+
     def test_train_changes_bn_stats(self):
         import jax
         import jax.numpy as jnp
