@@ -175,9 +175,13 @@ def youden_threshold(fpr, tpr, thresholds) -> float:
     ``max(zip(tpr, fpr), key=...)`` + ``list.index`` idiom. A single-class
     (NaN) curve raises ValueError: in the reference, ``max`` over NaN keys
     returns the first ``(nan, fpr)`` tuple and ``list(zip(...)).index``
-    then raises ValueError because NaN tuples never compare equal
-    (threshold.py:151-152 catches this -> 0.5 fallback; 219-222 converts it
-    to ROCFailedError) — verified by tests/test_reference_parity.py.
+    then raises ValueError because NaN tuples never compare equal.
+    Callers mirror the reference's handling where it has any
+    (threshold.py:151-152 -> 0.5 fallback; 219-222 -> ROCFailedError) and
+    deliberately add it where it doesn't (detect()'s tile/slide-UQ
+    branches degrade to the undetectable-fold return instead of crashing
+    the results assembly — see threshold.detect) — verified by
+    tests/test_reference_parity.py.
     """
     j = np.asarray(tpr, dtype=np.float64) - np.asarray(fpr, dtype=np.float64)
     if j.size == 0:

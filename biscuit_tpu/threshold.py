@@ -377,7 +377,25 @@ def detect(
             t_fpr, t_tpr, t_thresh = roc_curve(
                 df["incorrect"].to_numpy(), df["uncertainty"].to_numpy()
             )
-        tile_uq = youden_threshold(t_fpr, t_tpr, t_thresh)
+        try:
+            tile_uq = youden_threshold(t_fpr, t_tpr, t_thresh)
+        except ValueError:
+            # DELIBERATE FIX of a latent reference crash (documented per
+            # SURVEY.md §2.2 convention): when a fold's error ROC is
+            # single-class (every tile correct — reached on small folds;
+            # the paper's ~1000-tile folds always contain errors), the
+            # reference's bare Youden idiom (threshold.py:419-425, no
+            # try/except unlike its slide-pred path at :219-222) raises
+            # ValueError out of detect() and crashes the whole results
+            # assembly. Degrade to "fold undetectable" instead — the
+            # exact contract from_cv already applies when slide_uq
+            # comes back None (skip the fold; all folds undetectable ->
+            # ThresholdError -> experiment.results skips the UQ row).
+            # Shaken out by benchmarks/run_full_matrix.py on the full
+            # 280-experiment grid.
+            log.error("Unable to detect tile UQ threshold "
+                      "(single-class error ROC)")
+            return empty_thresh, None
         log.debug(f"Tile-level optimal UQ threshold: {tile_uq:.4f}")
         df = df[df["uncertainty"] < tile_uq]
 
@@ -406,7 +424,16 @@ def detect(
                 s_fpr, s_tpr, s_thresh = roc_curve(
                     s_df["incorrect"].to_numpy(), s_df["uncertainty"].to_numpy()
                 )
-            slide_uq = youden_threshold(s_fpr, s_tpr, s_thresh)
+            try:
+                slide_uq = youden_threshold(s_fpr, s_tpr, s_thresh)
+            except ValueError:
+                # Same deliberate fix as the tile branch: the reference
+                # guards all-correct (incorrect.sum()==0 above) but not
+                # ALL-incorrect, where the slide error ROC is also
+                # single-class and its bare Youden idiom raises.
+                log.error("Unable to detect slide UQ threshold "
+                          "(single-class error ROC)")
+                return empty_thresh, None
             log.debug(f"Slide-level optimal UQ threshold: {slide_uq:.4f}")
             if plot:
                 plot_uncertainty(s_df, threshold=slide_uq, kind="slide")

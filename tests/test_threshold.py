@@ -156,14 +156,18 @@ class TestDetect:
         assert all(v is None for v in thresh.values())
         assert auc is None
 
-    def test_perfect_model_crashes_like_reference(self):
+    def test_perfect_model_degrades_to_undetectable(self):
         # 100% tile accuracy -> zero incorrect tiles -> single-class tile-UQ
         # ROC. The reference raises an uncaught ValueError from its Youden
-        # idiom (threshold.py:423-424, nan tuples never match in list.index);
-        # parity requires we crash identically (test_reference_parity.py).
+        # idiom (threshold.py:423-424, nan tuples never match in list.index)
+        # which crashes its whole results assembly; we DELIBERATELY fix the
+        # quirk (shaken out by benchmarks/run_full_matrix.py at grid scale)
+        # by returning the same empty-thresholds contract as the other
+        # undetectable cases, so from_cv skips the fold instead.
         df = make_preds(acc=1.0)
-        with pytest.raises(ValueError):
-            threshold.detect(df.copy())
+        thresh, auc = threshold.detect(df.copy())
+        assert all(v is None for v in thresh.values())
+        assert auc is None
 
     def test_correct_slides_no_slide_threshold(self):
         # Incorrect tiles exist, but after tile-UQ filtering every slide is
@@ -238,6 +242,18 @@ class TestFromCV:
     def test_missing_columns_raise(self):
         with pytest.raises(ValueError):
             threshold.from_cv([pd.DataFrame({"y_true": [1]})])
+
+    def test_degenerate_fold_skipped_good_folds_aggregate(self):
+        # One all-correct fold (single-class error ROC, the reference's
+        # crash case) among good folds: the degenerate fold is skipped and
+        # aggregation runs over the good ones — the exact situation the
+        # full-matrix sitting hit in its GAN arm's nested CV.
+        good = [make_preds(seed=s, acc=0.8) for s in range(2)]
+        degenerate = make_preds(seed=9, acc=1.0)
+        agg = threshold.from_cv([d.copy() for d in good] + [degenerate])
+        per_fold = [threshold.detect(d.copy())[0] for d in good]
+        assert agg["tile_uq"] == pytest.approx(
+            min(f["tile_uq"] for f in per_fold))
 
     def test_all_folds_undetectable_raises(self):
         # Folds with incorrect tiles but no incorrect slides are skipped;
