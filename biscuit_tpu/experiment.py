@@ -1099,7 +1099,16 @@ class Experiment:
                     try:
                         t = stats.ttest_rel(a, b, alternative="less")
                         print(n, "\t", "p =", t.pvalue)
-                    except ValueError:
+                    except (ValueError, AttributeError):
+                        # The reference catches ValueError here
+                        # (experiment.py:236, 303: "p = (error)" for
+                        # degenerate groups); the scipy in this image
+                        # raises AttributeError from its axis-nan-policy
+                        # wrapper for size-0 inputs instead ('float' has
+                        # no 'dtype') — same degenerate condition, so it
+                        # gets the same "(error)" row. Shaken out by the
+                        # full-matrix sitting: ladder sizes whose UQ rows
+                        # were all skipped produce empty t-test groups.
                         print(n, "\t", "p = (error)")
 
         # --- cross-validation plots -----------------------------------------
@@ -1133,7 +1142,13 @@ class Experiment:
 
         df = df.sort_values(by=["n_slides"])
         x = df["n_slides"].to_numpy().astype(np.float32)
-        y = df["slide_auc"].to_numpy()
+        # Coerce: at full-grid scale slide_auc can arrive as an object
+        # column (None for experiments whose UQ thresholds were
+        # undetectable); np.isfinite on an object array raises TypeError.
+        # None -> NaN keeps those rows out of the LOESS panel, same as the
+        # reference's NaN rows. Shaken out by the full-matrix sitting.
+        y = pd.to_numeric(df["slide_auc"], errors="coerce").to_numpy(
+            np.float64)
         finite = np.isfinite(y)
         if finite.sum() > 3:
             z, se = _loess_smooth(x[finite], y[finite])
