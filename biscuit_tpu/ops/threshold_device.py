@@ -285,9 +285,10 @@ def _tile_stages(df, tile_pred, tile_uq, level):
         tu_mode = "fixed"
     elif tile_uq == "detect":
         tu_mode = "detect"
-        # ValueError propagates uncaught on a single-class
-        # ROC(incorrect, uncertainty), matching the host (stats/roc
-        # youden_threshold contract; reference threshold.py:423-424).
+        # ValueError on a single-class ROC(incorrect, uncertainty)
+        # propagates to detect_device, which degrades to the
+        # undetectable-fold return — the host detect()'s deliberate fix
+        # of the reference's uncaught crash (threshold.py:423-424).
         tile_uq = _resolve_youden(
             tu_stage(yt, yp, u, mask, np.float32(tile_pred)))
         log.debug(f"Tile-level optimal UQ threshold: {tile_uq:.4f}")
@@ -347,12 +348,20 @@ def detect_device(df, tile_uq="detect", slide_uq="detect", tile_pred="detect",
         log.debug("Not performing tile-level uncertainty thresholding.")
         tile_uq = None
 
-    tile_pred, tile_uq_res, tu_mode, g, levels = _tile_stages(
-        df, tile_pred, tile_uq, "slide")
-    tile_uq = tile_uq_res if tu_mode != "off" else None
-
     empty_thresh = {k: None for k in (
         "tile_uq", "slide_uq", "tile_pred", "slide_pred")}
+    try:
+        tile_pred, tile_uq_res, tu_mode, g, levels = _tile_stages(
+            df, tile_pred, tile_uq, "slide")
+    except ValueError:
+        # Single-class error ROC in the tile-UQ stage: mirror the host
+        # detect()'s deliberate degrade (threshold.py — undetectable
+        # fold, skipped by from_cv) so the two backends stay
+        # behavior-identical.
+        log.error("Unable to detect tile UQ threshold "
+                  "(single-class error ROC)")
+        return empty_thresh, None
+    tile_uq = tile_uq_res if tu_mode != "off" else None
     gf = _group_frame(g, levels, "slide")
     gyt = gf["y_true"]
     gyp = gf["y_pred"]
@@ -392,7 +401,14 @@ def detect_device(df, tile_uq="detect", slide_uq="detect", tile_pred="detect",
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
                 s_fpr, s_tpr, s_thresh = roc_curve(s_incorrect, gu)
-            slide_uq = youden_threshold(s_fpr, s_tpr, s_thresh)
+            try:
+                slide_uq = youden_threshold(s_fpr, s_tpr, s_thresh)
+            except ValueError:
+                # All-incorrect slide error ROC: same deliberate degrade
+                # as the host detect()'s slide branch.
+                log.error("Unable to detect slide UQ threshold "
+                          "(single-class error ROC)")
+                return empty_thresh, None
             log.debug(f"Slide-level optimal UQ threshold: {slide_uq:.4f}")
             keep = gu < slide_uq
     else:

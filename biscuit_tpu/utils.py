@@ -453,12 +453,26 @@ def prediction_metrics(y_true, y_pred, threshold, rng=None):
 
 
 def auc_and_threshold(y_true, y_pred):
-    """(AUC, Youden-optimal threshold) — utils.py:467-484."""
+    """(AUC, Youden-optimal threshold) — utils.py:467-484.
+
+    DELIBERATE FIX (SURVEY.md §2.2 convention): on single-class y_true
+    the reference's bare Youden idiom (utils.py:482-483, no try/except)
+    raises an uncaught ValueError that crashes results assembly — hit by
+    the full-matrix sitting on a 10:1 ratio experiment whose
+    site-preserving CV fold validated on majority-class slides only.
+    Degrade to (nan, nan) instead, the same contract as the sibling
+    ``auc`` helper (reference utils.py:487-504) which the reference
+    already uses for undefined ROCs.
+    """
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         fpr, tpr, threshold = roc_curve(y_true, y_pred)
         roc_auc = trapezoid_auc(fpr, tpr)
-    return roc_auc, youden_threshold(fpr, tpr, threshold)
+    try:
+        return roc_auc, youden_threshold(fpr, tpr, threshold)
+    except ValueError:
+        log.warning("Unable to calculate ROC")
+        return roc_auc, float("nan")
 
 
 def auc(y_true, y_pred):
