@@ -294,12 +294,19 @@ def main():
 
     df = rdf = gdf = pd.DataFrame()
     if have_reg:
+        # crossval_results.csv is written by EVERY exp.results() call
+        # (reference experiment.py:750 does the same), so after a full
+        # sitting it holds the LAST section's frame (the GAN n=500 UQ
+        # pass) — a reference-faithful last-write contract. Reg-arm
+        # coverage is asserted from evaluation_results.csv instead,
+        # which only the reg pass (eval=True) writes.
         df = pd.read_csv(join(outdir, "crossval_results.csv"))
         assert len(df), "empty cross-val results frame"
-        ids = set(df["id"])
+        ev = pd.read_csv(join(outdir, "evaluation_results.csv"))
+        ids = set(ev["id"])
         missing = {lbl for g in ("reg1", "reg2", "rev1", "rev2")
                    for lbl in matrix.get(g, {})} - ids
-        assert not missing, f"reg arm ids missing from results: {missing}"
+        assert not missing, f"reg arm ids missing from eval results: {missing}"
         assert exists(join(outdir, "reg_crossval.svg"))
     if have_ratio:
         for artifact in ("ratio_results.csv", "ratio_comparison_crossval.svg",
